@@ -1,0 +1,126 @@
+"""Object-intrinsics field networks: style-conditioned SDF, albedo, variance.
+
+Rebuilds src/models/fields.py (ShapeNetwork/ColorNetwork) and NeuS's
+SingleVarianceNetwork (src/third_party/neus/models/fields.py:262-268) as
+functional JAX param trees.
+
+The reference computes analytic SDF normals with 40 lines of torch.autograd
+bookkeeping (src/models/fields.py:104-146); here it is one ``jax.grad`` of the
+summed SDF — exact per-point gradients because each point's SDF depends only
+on itself, and still differentiable w.r.t. params for the second-order terms
+the GAN objective needs (normals feed the color network and the losses).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import film_siren as fs
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# Shape network: 3-layer mapping MLP + 8-layer FiLM-SIREN + linear SDF head
+# --------------------------------------------------------------------------
+
+def init_shape_network(
+    key,
+    D: int = 8,
+    W: int = 128,
+    style_dim: int = 64,
+    input_ch: int = 3,
+    input_ch_views: int = 3,  # accepted for config parity; unused by the trunk
+    checkpoint_path: Optional[str] = None,
+) -> Params:
+    del input_ch_views
+    k_style, k_trunk, k_head = jax.random.split(key, 3)
+    params = {
+        "style": fs.init_mapping_mlp(k_style, style_dim, n_layers=3),
+        "pts_linears": fs.init_siren_trunk(k_trunk, D, input_ch, W, style_dim),
+        "sigma_linear": fs.init_linear(k_head, W, 1, freq_init=True),
+    }
+    if checkpoint_path:
+        from ..utils.sphere_init import load_sphere_init
+
+        params = load_sphere_init(checkpoint_path, params)
+    return params
+
+
+def shape_style(params: Params, z: jnp.ndarray) -> jnp.ndarray:
+    """Latent z (bs, style_dim) -> style w (bs, style_dim)."""
+    return fs.apply_mapping_mlp(params["style"], z)
+
+
+def shape_forward(params: Params, pts: jnp.ndarray, w: jnp.ndarray):
+    """pts: (bs, n, 3), w: (bs, style_dim) -> (sdf (bs, n, 1), feat (bs, n, W))."""
+    h = fs.apply_siren_trunk(params["pts_linears"], pts, w)
+    sdf = fs.apply_linear(params["sigma_linear"], h)
+    return sdf, h
+
+
+def shape_sdf(params: Params, pts: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return shape_forward(params, pts, w)[0]
+
+
+def shape_sdf_grad(params: Params, pts: jnp.ndarray, w: jnp.ndarray):
+    """SDF value, analytic spatial gradient, and features in one pass.
+
+    grad_pts(sum(sdf)) gives exact per-point gradients (the SDF of point i is
+    independent of point j), replacing fields.py:104-146.
+    """
+    def sdf_sum(p):
+        sdf, feat = shape_forward(params, p, w)
+        return sdf.sum(), (sdf, feat)
+
+    grads, (sdf, feat) = jax.grad(sdf_sum, has_aux=True)(pts)
+    return sdf, grads, feat
+
+
+
+# --------------------------------------------------------------------------
+# Color network: one FiLM layer on [features, normals] + linear RGB head
+# --------------------------------------------------------------------------
+
+def init_color_network(
+    key,
+    D: int = 8,  # accepted for config parity; the color head is a single layer
+    W: int = 128,
+    style_dim: int = 64,
+    input_ch: int = 3,
+    input_ch_views: int = 3,
+) -> Params:
+    del D, input_ch
+    k_views, k_rgb = jax.random.split(key)
+    return {
+        "views_linears": fs.init_film_siren(k_views, input_ch_views + W, W, style_dim),
+        "rgb_linear": fs.init_linear(k_rgb, W, 3, freq_init=True),
+    }
+
+
+def color_forward(params: Params, feat: jnp.ndarray, normals: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Albedo from (features, raw normals); view-independent despite the name
+    (src/models/fields.py:80-101). feat: (bs, n, W), normals: (bs, n, 3)."""
+    h = jnp.concatenate([feat, normals], axis=-1)
+    h = fs.apply_film_siren(params["views_linears"], h, w)
+    rgb = fs.apply_linear(params["rgb_linear"], h)
+    return jax.nn.sigmoid(rgb)
+
+
+
+# --------------------------------------------------------------------------
+# Deviation network: single global NeuS variance
+# --------------------------------------------------------------------------
+
+def init_deviation_network(init_val: float = 0.3) -> Params:
+    return {"variance": jnp.asarray(init_val, dtype=jnp.float32)}
+
+
+def deviation_inv_s(params: Params) -> jnp.ndarray:
+    """inv_s = exp(10 * variance), clipped (neus/models/fields.py:262-268 and
+    renderer.py:266)."""
+    return jnp.clip(jnp.exp(params["variance"] * 10.0), 1e-6, 1e6)
+
