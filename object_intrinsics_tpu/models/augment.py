@@ -1,0 +1,376 @@
+"""StyleGAN2-ADA differentiable augmentation pipeline, TPU-native.
+
+Rebuilds src/third_party/ada/augment.py (AugmentPipe) as a pure function of a
+PRNG key on NHWC images. All geometric ops compose into one inverse 2x3
+affine executed as reflect-pad -> 2x wavelet upsample -> affine grid sample
+-> 2x wavelet downsample (augment.py:270-301); color ops compose into one 4x4
+homogeneous matrix; frequency-band filtering, noise and cutout follow.
+
+jit-compatibility notes (vs the torch original):
+  * the reference computes a data-dependent reflect-pad margin from the
+    transformed image corners, clamped to [0, size-1] (augment.py:272-283).
+    Static shapes require a fixed margin; we use the clamp ceiling
+    (size - 1), which equals the reference's behavior at its worst case and
+    only enlarges the reflect apron otherwise. The grid-sample output extent
+    is margin-independent, so results only differ for draws the reference
+    itself would have clipped.
+  * every random gate (``rand < prob * p``) becomes a jnp.where — identical
+    distribution, no control flow.
+
+The default object-intrinsics config enables only ``scale`` and ``xint``
+(configs/train.yaml:83-84) with p = 1, but the full pipe (flip/rot90/
+rotate/aniso/xfrac, brightness/contrast/lumaflip/hue/saturation, imgfilter,
+noise, cutout) is implemented for parity.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.grid_sample import affine_grid, grid_sample
+from ..ops.upfirdn2d import WAVELETS, downsample2d, setup_filter, upsample2d
+from ..utils.config import register_target
+
+
+# ---------------------------------------------------------------------------
+# Batched homogeneous transform helpers (augment.py:60-107)
+# ---------------------------------------------------------------------------
+
+def _eye(bs, n, dtype=jnp.float32):
+    return jnp.broadcast_to(jnp.eye(n, dtype=dtype), (bs, n, n))
+
+
+def translate2d(tx, ty):
+    bs = tx.shape[0]
+    m = _eye(bs, 3)
+    m = m.at[:, 0, 2].set(tx)
+    m = m.at[:, 1, 2].set(ty)
+    return m
+
+
+def scale2d(sx, sy):
+    bs = sx.shape[0]
+    m = _eye(bs, 3)
+    m = m.at[:, 0, 0].set(sx)
+    m = m.at[:, 1, 1].set(sy)
+    return m
+
+
+def rotate2d(theta):
+    bs = theta.shape[0]
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    m = _eye(bs, 3)
+    m = m.at[:, 0, 0].set(c)
+    m = m.at[:, 0, 1].set(-s)
+    m = m.at[:, 1, 0].set(s)
+    m = m.at[:, 1, 1].set(c)
+    return m
+
+
+def translate2d_inv(tx, ty):
+    return translate2d(-tx, -ty)
+
+
+def scale2d_inv(sx, sy):
+    return scale2d(1.0 / sx, 1.0 / sy)
+
+
+def rotate2d_inv(theta):
+    return rotate2d(-theta)
+
+
+def translate3d(tx, ty, tz):
+    bs = tx.shape[0]
+    m = _eye(bs, 4)
+    m = m.at[:, 0, 3].set(tx)
+    m = m.at[:, 1, 3].set(ty)
+    m = m.at[:, 2, 3].set(tz)
+    return m
+
+
+def scale3d(sx, sy, sz):
+    bs = sx.shape[0]
+    m = _eye(bs, 4)
+    m = m.at[:, 0, 0].set(sx)
+    m = m.at[:, 1, 1].set(sy)
+    m = m.at[:, 2, 2].set(sz)
+    return m
+
+
+def rotate3d(v, theta):
+    """Rotation about unit axis v (3,) by per-sample angles theta (bs,)."""
+    vx, vy, vz = float(v[0]), float(v[1]), float(v[2])
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    cc = 1.0 - c
+    bs = theta.shape[0]
+    m = _eye(bs, 4)
+    rows = [
+        [vx * vx * cc + c, vx * vy * cc - vz * s, vx * vz * cc + vy * s],
+        [vy * vx * cc + vz * s, vy * vy * cc + c, vy * vz * cc - vx * s],
+        [vz * vx * cc - vy * s, vz * vy * cc + vx * s, vz * vz * cc + c],
+    ]
+    for i in range(3):
+        for j in range(3):
+            m = m.at[:, i, j].set(rows[i][j])
+    return m
+
+
+# ---------------------------------------------------------------------------
+# AugmentPipe
+# ---------------------------------------------------------------------------
+
+@register_target(
+    "src.third_party.ada.augment.AugmentPipe",
+    "object_intrinsics_tpu.models.augment.AugmentPipe",
+)
+class AugmentPipe:
+    def __init__(
+        self,
+        xflip=0, rotate90=0, xint=0, xint_max=0.125,
+        scale=0, rotate=0, aniso=0, xfrac=0,
+        scale_std=0.2, rotate_max=1, aniso_std=0.2, xfrac_std=0.125,
+        brightness=0, contrast=0, lumaflip=0, hue=0, saturation=0,
+        brightness_std=0.2, contrast_std=0.5, hue_max=1, saturation_std=1,
+        imgfilter=0, imgfilter_bands=(1, 1, 1, 1), imgfilter_std=1,
+        noise=0, cutout=0, noise_std=0.1, cutout_size=0.5,
+        p=1.0,
+    ):
+        self.p = float(p)
+        self.xflip, self.rotate90 = float(xflip), float(rotate90)
+        self.xint, self.xint_max = float(xint), float(xint_max)
+        self.scale, self.rotate = float(scale), float(rotate)
+        self.aniso, self.xfrac = float(aniso), float(xfrac)
+        self.scale_std, self.rotate_max = float(scale_std), float(rotate_max)
+        self.aniso_std, self.xfrac_std = float(aniso_std), float(xfrac_std)
+        self.brightness, self.contrast = float(brightness), float(contrast)
+        self.lumaflip, self.hue, self.saturation = float(lumaflip), float(hue), float(saturation)
+        self.brightness_std, self.contrast_std = float(brightness_std), float(contrast_std)
+        self.hue_max, self.saturation_std = float(hue_max), float(saturation_std)
+        self.imgfilter = float(imgfilter)
+        self.imgfilter_bands = tuple(float(b) for b in imgfilter_bands)
+        self.imgfilter_std = float(imgfilter_std)
+        self.noise, self.cutout = float(noise), float(cutout)
+        self.noise_std, self.cutout_size = float(noise_std), float(cutout_size)
+
+        # orthogonal lowpass for geometric warps (augment.py:167)
+        self.Hz_geom = setup_filter(WAVELETS["sym6"])
+        # bandpass filter bank for image-space filtering (augment.py:170-179)
+        self.Hz_fbank = self._build_fbank()
+
+    @staticmethod
+    def _build_fbank() -> np.ndarray:
+        import scipy.signal
+
+        Hz_lo = np.asarray(WAVELETS["sym2"])
+        Hz_hi = Hz_lo * ((-1) ** np.arange(Hz_lo.size))
+        Hz_lo2 = np.convolve(Hz_lo, Hz_lo[::-1]) / 2
+        Hz_hi2 = np.convolve(Hz_hi, Hz_hi[::-1]) / 2
+        fbank = np.eye(4, 1)
+        for i in range(1, fbank.shape[0]):
+            fbank = np.dstack([fbank, np.zeros_like(fbank)]).reshape(fbank.shape[0], -1)[:, :-1]
+            fbank = scipy.signal.convolve(fbank, [Hz_lo2])
+            fbank[i, (fbank.shape[1] - Hz_hi2.size) // 2 : (fbank.shape[1] + Hz_hi2.size) // 2] += Hz_hi2
+        return fbank.astype(np.float32)
+
+    @property
+    def _has_geometric(self) -> bool:
+        return any(
+            v > 0
+            for v in (self.xflip, self.rotate90, self.xint, self.scale, self.rotate, self.aniso, self.xfrac)
+        )
+
+    @property
+    def _has_color(self) -> bool:
+        return any(v > 0 for v in (self.brightness, self.contrast, self.lumaflip, self.hue, self.saturation))
+
+    # -- main entry ---------------------------------------------------------
+
+    def __call__(self, key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
+        """images: (bs, H, W, C) float; returns augmented images, same shape."""
+        assert images.ndim == 4
+        bs, height, width, channels = images.shape
+        keys = iter(jax.random.split(key, 24))
+        nk = lambda: next(keys)
+        p = self.p
+        u = lambda shape: jax.random.uniform(nk(), shape, dtype=jnp.float32)
+        n = lambda shape: jax.random.normal(nk(), shape, dtype=jnp.float32)
+
+        # ----- pixel blitting + geometric: one inverse affine ---------------
+        if self._has_geometric:
+            G_inv = _eye(bs, 3)
+
+            if self.xflip > 0:
+                i = jnp.floor(u((bs,)) * 2)
+                i = jnp.where(u((bs,)) < self.xflip * p, i, 0.0)
+                G_inv = G_inv @ scale2d_inv(1 - 2 * i, jnp.ones_like(i))
+            if self.rotate90 > 0:
+                i = jnp.floor(u((bs,)) * 4)
+                i = jnp.where(u((bs,)) < self.rotate90 * p, i, 0.0)
+                G_inv = G_inv @ rotate2d_inv(-np.pi / 2 * i)
+            if self.xint > 0:
+                t = (u((bs, 2)) * 2 - 1) * self.xint_max
+                t = jnp.where(u((bs, 1)) < self.xint * p, t, 0.0)
+                G_inv = G_inv @ translate2d_inv(
+                    jnp.round(t[:, 0] * width), jnp.round(t[:, 1] * height)
+                )
+            if self.scale > 0:
+                s = jnp.exp2(n((bs,)) * self.scale_std)
+                s = jnp.where(u((bs,)) < self.scale * p, s, 1.0)
+                G_inv = G_inv @ scale2d_inv(s, s)
+            p_rot = 1 - np.sqrt(np.clip(1 - self.rotate * p, 0, 1))
+            if self.rotate > 0:
+                theta = (u((bs,)) * 2 - 1) * np.pi * self.rotate_max
+                theta = jnp.where(u((bs,)) < p_rot, theta, 0.0)
+                G_inv = G_inv @ rotate2d_inv(-theta)
+            if self.aniso > 0:
+                s = jnp.exp2(n((bs,)) * self.aniso_std)
+                s = jnp.where(u((bs,)) < self.aniso * p, s, 1.0)
+                G_inv = G_inv @ scale2d_inv(s, 1 / s)
+            if self.rotate > 0:
+                theta = (u((bs,)) * 2 - 1) * np.pi * self.rotate_max
+                theta = jnp.where(u((bs,)) < p_rot, theta, 0.0)
+                G_inv = G_inv @ rotate2d_inv(-theta)
+            if self.xfrac > 0:
+                t = n((bs, 2)) * self.xfrac_std
+                t = jnp.where(u((bs, 1)) < self.xfrac * p, t, 0.0)
+                G_inv = G_inv @ translate2d_inv(t[:, 0] * width, t[:, 1] * height)
+
+            images = self._execute_geometric(images, G_inv)
+
+        # ----- color: one homogeneous 4x4 -----------------------------------
+        if self._has_color:
+            C = _eye(bs, 4)
+            if self.brightness > 0:
+                b = n((bs,)) * self.brightness_std
+                b = jnp.where(u((bs,)) < self.brightness * p, b, 0.0)
+                C = translate3d(b, b, b) @ C
+            if self.contrast > 0:
+                c = jnp.exp2(n((bs,)) * self.contrast_std)
+                c = jnp.where(u((bs,)) < self.contrast * p, c, 1.0)
+                C = scale3d(c, c, c) @ C
+            v = np.asarray([1, 1, 1, 0]) / np.sqrt(3)
+            if self.lumaflip > 0:
+                i = jnp.floor(u((bs,)) * 2)
+                i = jnp.where(u((bs,)) < self.lumaflip * p, i, 0.0)
+                vv = jnp.asarray(np.outer(v, v), dtype=jnp.float32)
+                C = (_eye(bs, 4) - 2 * vv[None] * i[:, None, None]) @ C
+            if self.hue > 0 and channels > 1:
+                theta = (u((bs,)) * 2 - 1) * np.pi * self.hue_max
+                theta = jnp.where(u((bs,)) < self.hue * p, theta, 0.0)
+                C = rotate3d(v, theta) @ C
+            if self.saturation > 0 and channels > 1:
+                s = jnp.exp2(n((bs,)) * self.saturation_std)
+                s = jnp.where(u((bs,)) < self.saturation * p, s, 1.0)
+                vv = jnp.asarray(np.outer(v, v), dtype=jnp.float32)
+                C = (vv[None] + (_eye(bs, 4) - vv[None]) * s[:, None, None]) @ C
+
+            images = self._execute_color(images, C)
+
+        # ----- image-space filtering ----------------------------------------
+        if self.imgfilter > 0:
+            images = self._execute_imgfilter(images, u, n)
+
+        # ----- corruptions ----------------------------------------------------
+        if self.noise > 0:
+            sigma = jnp.abs(n((bs, 1, 1, 1))) * self.noise_std
+            sigma = jnp.where(u((bs, 1, 1, 1)) < self.noise * p, sigma, 0.0)
+            images = images + n(images.shape) * sigma
+        if self.cutout > 0:
+            size = jnp.full((bs, 2), self.cutout_size, dtype=jnp.float32)
+            size = jnp.where(u((bs, 1)) < self.cutout * p, size, 0.0)
+            center = u((bs, 2))
+            cx = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+            cy = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+            mask_x = jnp.abs(cx[None, None, :] - center[:, 0, None, None]) >= size[:, 0, None, None] / 2
+            mask_y = jnp.abs(cy[None, :, None] - center[:, 1, None, None]) >= size[:, 1, None, None] / 2
+            mask = jnp.logical_or(mask_x, mask_y).astype(images.dtype)
+            images = images * mask[..., None]
+
+        return images
+
+    # -- execution helpers ----------------------------------------------------
+
+    def _execute_geometric(self, images: jnp.ndarray, G_inv: jnp.ndarray) -> jnp.ndarray:
+        bs, height, width, channels = images.shape
+        Hz_pad = self.Hz_geom.shape[0] // 4
+
+        # Static reflect apron at the reference's clamp ceiling (augment.py:272-283).
+        mx = width - 1
+        my = height - 1
+        images = jnp.pad(images, ((0, 0), (my, my), (mx, mx), (0, 0)), mode="reflect")
+        # symmetric margins -> the origin-adjustment translate is identity
+
+        # 2x upsample through the orthogonal lowpass (augment.py:290-292)
+        images = upsample2d(images, self.Hz_geom, up=2)
+        s2 = jnp.full((bs,), 2.0, dtype=jnp.float32)
+        half = jnp.full((bs,), -0.5, dtype=jnp.float32)
+        G_inv = scale2d(s2, s2) @ G_inv @ scale2d_inv(s2, s2)
+        G_inv = translate2d(half, half) @ G_inv @ translate2d_inv(half, half)
+
+        # affine warp to the canonical output extent (augment.py:294-298)
+        out_h = (height + Hz_pad * 2) * 2
+        out_w = (width + Hz_pad * 2) * 2
+        in_h, in_w = images.shape[1], images.shape[2]
+        a = jnp.full((bs,), 2.0 / in_w, dtype=jnp.float32)
+        b = jnp.full((bs,), 2.0 / in_h, dtype=jnp.float32)
+        c = jnp.full((bs,), 2.0 / out_w, dtype=jnp.float32)
+        d = jnp.full((bs,), 2.0 / out_h, dtype=jnp.float32)
+        G_inv = scale2d(a, b) @ G_inv @ scale2d_inv(c, d)
+        grid = affine_grid(G_inv[:, :2, :], (bs, out_h, out_w))
+        images = grid_sample(images, grid)
+
+        # downsample and crop back to (height, width) (augment.py:300-301)
+        return downsample2d(images, self.Hz_geom, down=2, padding=-Hz_pad * 2, flip_filter=True)
+
+    @staticmethod
+    def _execute_color(images: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
+        bs, height, width, channels = images.shape
+        if channels == 3:
+            out = jnp.einsum("bij,bhwj->bhwi", C[:, :3, :3], images)
+            return out + C[:, None, None, :3, 3]
+        if channels == 1:
+            Cm = jnp.mean(C[:, :3, :], axis=1)  # (bs, 4)
+            scale = jnp.sum(Cm[:, :3], axis=-1)  # (bs,)
+            return images * scale[:, None, None, None] + Cm[:, 3][:, None, None, None]
+        raise ValueError("images must be RGB (3ch) or L (1ch)")
+
+    def _execute_imgfilter(self, images: jnp.ndarray, u, n) -> jnp.ndarray:
+        """Per-sample amplification of 4 frequency bands (augment.py:372-400)."""
+        bs, height, width, channels = images.shape
+        num_bands = self.Hz_fbank.shape[0]
+        assert len(self.imgfilter_bands) == num_bands
+        expected_power = np.asarray([10, 1, 1, 1]) / 13.0
+
+        g = jnp.ones((bs, num_bands), dtype=jnp.float32)
+        for i, band_strength in enumerate(self.imgfilter_bands):
+            t_i = jnp.exp2(n((bs,)) * self.imgfilter_std)
+            t_i = jnp.where(u((bs,)) < self.imgfilter * self.p * band_strength, t_i, 1.0)
+            t = jnp.ones((bs, num_bands), dtype=jnp.float32).at[:, i].set(t_i)
+            t = t / jnp.sqrt(
+                jnp.sum(jnp.asarray(expected_power, dtype=jnp.float32) * t**2, axis=-1, keepdims=True)
+            )
+            g = g * t
+
+        Hz_prime = g @ jnp.asarray(self.Hz_fbank)  # (bs, taps)
+        taps = self.Hz_fbank.shape[1]
+        pad = taps // 2
+
+        x = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+        # fold batch into channels for per-sample depthwise filtering
+        x = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, x.shape[1], x.shape[2], bs * channels)
+        k = jnp.repeat(Hz_prime[:, None, :], channels, axis=1).reshape(bs * channels, taps)
+        # torch conv2d is cross-correlation; kernels applied unflipped
+        kx = jnp.transpose(k, (1, 0))[None, :, None, :]  # (1, taps, 1, bs*C)
+        ky = jnp.transpose(k, (1, 0))[:, None, None, :]  # (taps, 1, 1, bs*C)
+        conv = lambda inp, kern: jax.lax.conv_general_dilated(
+            inp, kern, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=bs * channels,
+        )
+        x = conv(x, kx)
+        x = conv(x, ky)
+        x = x.reshape(x.shape[1], x.shape[2], bs, channels)
+        return jnp.transpose(x, (2, 0, 1, 3))

@@ -189,14 +189,19 @@ def _resolve_node(root: dict, node: Any, depth: int = 0) -> Any:
     if isinstance(node, list):
         return [_resolve_node(root, v, depth + 1) for v in node]
     if isinstance(node, str):
-        m = _INTERP_RE.fullmatch(node.strip())
-        if m:  # whole-string interpolation preserves type
-            return _resolve_value(root, m.group(1), depth)
-        # partial interpolation -> string substitution
-        def sub(match):
-            return str(_resolve_value(root, match.group(1), depth))
-
-        return _INTERP_RE.sub(sub, node)
+        # Resolve innermost-first so nested forms like ${div:${a},2} work.
+        while isinstance(node, str) and "${" in node:
+            if depth > 50:
+                raise RecursionError("config interpolation too deep (cycle?)")
+            m = _INTERP_RE.fullmatch(node.strip())
+            if m:  # whole-string interpolation preserves type
+                node = _resolve_value(root, m.group(1), depth)
+            else:  # partial interpolation -> string substitution of inner refs
+                node = _INTERP_RE.sub(
+                    lambda match: str(_resolve_value(root, match.group(1), depth)), node
+                )
+            depth += 1
+        return node
     return node
 
 
@@ -220,6 +225,12 @@ def overwrite_cfg_from_dotlist(cfg: dict, dotlist: List[str]) -> None:
     for item in dotlist:
         key, _, raw = item.partition("=")
         value = yaml.safe_load(raw)
+        if isinstance(value, str):
+            # YAML 1.1 rejects floats like "2e-5" (no dot); accept them anyway
+            try:
+                value = float(value)
+            except ValueError:
+                pass
         node = cfg
         parts = key.split(".")
         for part in parts[:-1]:
