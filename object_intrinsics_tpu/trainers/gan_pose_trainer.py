@@ -1,0 +1,413 @@
+"""Three-player adversarial trainer (generator + image D + mask D).
+
+Rebuilds src/trainers/gan_pose_trainer.py as ONE jitted train step:
+
+  * generator step — fresh render, BCE fool-losses from both discriminators,
+    weighted eikonal and other generator-side losses, per-child grad norms
+    (gan_pose_trainer.py:103-152);
+  * image-discriminator step — real BCE + fake BCE + R1 penalty on reals +
+    auxiliary 6-d pose regression against the fake's camera-to-box pose
+    (gan_pose_trainer.py:154-202); fakes come from a fresh no-grad render
+    with the *updated* generator (train_step:84-90);
+  * mask-discriminator step — same core on masks, no aux head.
+
+Where the reference alternates three backward/step calls with toggle_grad
+(gan_pose_trainer.py:21-23,77-101), here each player is a ``jax.grad`` w.r.t.
+its own param subtree inside a single XLA program — no gradient toggling, no
+Python between sub-steps, and the whole step (3 renders + 3 updates + both
+EMAs) compiles into one fused TPU executable with donated buffers.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..utils import tree as tree_util
+from ..utils.checkpoint import CheckpointIO, restore_like
+from ..utils.config import build_from_config, register_target
+from ..utils.unit_sphere import UnitSphere
+from ..utils.visualize import normalize_batched_tensor, save_image_grid
+
+logger = logging.getLogger(__name__)
+
+MODULE_KEYS = ["generator", "discriminator", "mask_discriminator"]
+MODULE_KEYS_TO_DATA_KEYS = {
+    "generator": ["image"],
+    "discriminator": ["image"],
+    "mask_discriminator": ["mask"],
+}
+
+
+@register_target(
+    "src.trainers.gan_pose_trainer.Trainer",
+    "object_intrinsics_tpu.trainers.gan_pose_trainer.Trainer",
+)
+class Trainer:
+    """``modules`` carries the host model objects, their param trees, and the
+    optax transformations: {k, f"params_{k}", f"opt_{k}"} for each MODULE_KEY.
+    """
+
+    def __init__(
+        self,
+        modules: Dict[str, Any],
+        writer,
+        loss_weight: Dict[str, Any],
+        loss_modules: Dict[str, Any],
+        it: int = -1,
+        mesh=None,
+    ):
+        self.modules = modules
+        self.module_keys = MODULE_KEYS
+        self.generator = modules["generator"]
+        self.discriminator = modules["discriminator"]
+        self.mask_discriminator = modules["mask_discriminator"]
+        self.tx = {k: modules[f"opt_{k}"] for k in MODULE_KEYS}
+        self.mesh = mesh  # jax.sharding.Mesh for data-parallel training
+
+        self.loss_weight = {
+            k: (build_from_config(v) if isinstance(v, dict) else v)
+            for k, v in loss_weight.items()
+        }
+        self.loss_modules = {k: build_from_config(v) for k, v in loss_modules.items()}
+
+        params = {k: modules[f"params_{k}"] for k in MODULE_KEYS}
+        self.state = {
+            "params": params,
+            "opt": {k: self.tx[k].init(params[k]) for k in MODULE_KEYS},
+            "ema": {
+                "ema@0.99": jax.tree.map(jnp.copy, params["generator"]),
+                "ema@0.9": jax.tree.map(jnp.copy, params["generator"]),
+            },
+            "it": jnp.asarray(it, dtype=jnp.int32),
+        }
+
+        self.writer = writer
+        if writer is not None:
+            self.vis_dir = os.path.join(writer.get_logdir(), "vis")
+            checkpoint_dir = os.path.join(writer.get_logdir(), "checkpoints")
+        else:
+            self.vis_dir = None
+            checkpoint_dir = None
+        self.checkpoint_io = CheckpointIO(checkpoint_dir)
+        self.light_sphere = UnitSphere(self.generator.resolution, scale=0.5)
+
+        self._step_fn_cache: Dict[int, Any] = {}
+        self._vis_fn_cache: Dict[int, Any] = {}
+
+    # ------------------------------------------------------------------ jit
+
+    @property
+    def it(self) -> int:
+        return int(self.state["it"])
+
+    def _build_step(self, bs: int):
+        """One full adversarial step as a pure function; jitted with donation.
+
+        When ``self.mesh`` is set the same function runs data-parallel: the
+        batch and RNG shard over the 'data' axis, params/opt/EMA replicate,
+        and gradients are mean-reduced over the mesh by jax.grad under
+        shard_map (see parallel/mesh.py)."""
+        gen = self.generator
+        disc = self.discriminator
+        mask_disc = self.mask_discriminator
+        gan = self.loss_modules["gan"]
+        aux_pose = self.loss_modules["aux_pose"]
+        lw = self.loss_weight
+        tx = self.tx
+
+        def step(state, batch, key, grad_sync=lambda g: g):
+            it = state["it"] + 1
+            params = state["params"]
+            x_real = batch["image"]
+            mask_real = batch["mask"]
+            bs_ = x_real.shape[0]
+
+            keys = jax.random.split(key, 10)
+            (k_g, k_g_aug1, k_g_aug2, k_d_render, k_d_aug_r, k_d_aug_f,
+             k_m_render, k_m_aug_r, k_m_aug_f, _) = keys
+
+            ret: Dict[str, jnp.ndarray] = {}
+
+            # ------------------------------------------------ generator step
+            def g_loss_fn(g_params):
+                out = gen.forward(g_params, k_g, bs_, it, {}, train=True)["box"]
+                stats = {}
+                x_fake = out["render_out"]["image"]
+                d_fake = disc.apply(params["discriminator"], x_fake, k_g_aug1)[:, :1]
+                loss_disc = gan(d_fake, 1)
+                m_fake = out["render_out"]["mask"]
+                md_fake = mask_disc.apply(params["mask_discriminator"], m_fake, k_g_aug2)
+                loss_mask = gan(md_fake, 1)
+
+                loss = loss_disc * lw["disc_in_gen"] + loss_mask * lw["mask_disc_in_gen"]
+                stats["generator/loss"] = loss_disc
+                stats["generator/loss_mask"] = loss_mask
+                for k, v in out["loss"].items():
+                    loss = loss + lw[k] * v
+                    stats[f"generator/{k}"] = v
+                for k, v in out["stats"].items():
+                    stats[f"box_stats/{k}"] = v
+                return loss, stats
+
+            (_, g_stats), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                params["generator"]
+            )
+            g_grads = grad_sync(g_grads)
+            ret.update(g_stats)
+            ret.update(tree_util.children_grad_norms(g_grads))
+            g_upd, g_opt = tx["generator"].update(
+                g_grads, state["opt"]["generator"], params["generator"]
+            )
+            g_params_new = optax.apply_updates(params["generator"], g_upd)
+
+            # ------------------------- discriminator step (image + aux pose)
+            out_d = gen.forward(g_params_new, k_d_render, bs_, it, {}, train=True)["box"]
+            x_fake_d = jax.lax.stop_gradient(out_d["render_out"]["image"])
+            c2b = jax.lax.stop_gradient(out_d["prior_info"]["c2b"])
+            pose_target = gen.pose_prior.pose_to_vec_repr(c2b)
+
+            def d_loss_fn(d_params):
+                d_real_fn = lambda x: disc.apply(d_params, x, k_d_aug_r)[:, :1]
+                d_real, vjp_fn = jax.vjp(d_real_fn, x_real)
+                grad_x = vjp_fn(jnp.ones_like(d_real))[0]
+                reg = jnp.mean(jnp.sum(grad_x.reshape(bs_, -1) ** 2, axis=1))
+                loss_real = gan(d_real, 1)
+
+                d_out = disc.apply(d_params, x_fake_d, k_d_aug_f)
+                if d_out.shape[1] > 1:
+                    d_fake, d_aux = d_out[:, :1], d_out[:, 1:]
+                    loss_aux = aux_pose(d_aux, pose_target)
+                else:
+                    d_fake, loss_aux = d_out, jnp.zeros(())
+                loss_fake = gan(d_fake, 0)
+
+                loss = loss_real + loss_fake + reg * lw["reg"] + loss_aux * lw["aux_pose"](it)
+                stats = {
+                    "discriminator/loss": loss_fake + loss_real,
+                    "discriminator/reg": reg,
+                    "discriminator/fake": loss_fake,
+                    "discriminator/real": loss_real,
+                    "discriminator/aux_pose": loss_aux,
+                    "discriminator/fake_sign": jnp.mean(jnp.sign(d_fake)),
+                    "discriminator/real_sign": jnp.mean(jnp.sign(d_real)),
+                }
+                return loss, stats
+
+            (_, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                params["discriminator"]
+            )
+            d_grads = grad_sync(d_grads)
+            ret.update(d_stats)
+            d_upd, d_opt = tx["discriminator"].update(
+                d_grads, state["opt"]["discriminator"], params["discriminator"]
+            )
+            d_params_new = optax.apply_updates(params["discriminator"], d_upd)
+
+            # ------------------------------------- mask discriminator step
+            out_m = gen.forward(g_params_new, k_m_render, bs_, it, {}, train=True)["box"]
+            m_fake = jax.lax.stop_gradient(out_m["render_out"]["mask"])
+
+            def md_loss_fn(md_params):
+                md_real_fn = lambda x: mask_disc.apply(md_params, x, k_m_aug_r)[:, :1]
+                md_real, vjp_fn = jax.vjp(md_real_fn, mask_real)
+                grad_x = vjp_fn(jnp.ones_like(md_real))[0]
+                reg = jnp.mean(jnp.sum(grad_x.reshape(bs_, -1) ** 2, axis=1))
+                loss_real = gan(md_real, 1)
+                md_fake = mask_disc.apply(md_params, m_fake, k_m_aug_f)
+                loss_fake = gan(md_fake, 0)
+                loss = loss_real + loss_fake + reg * lw["reg"]
+                stats = {
+                    "mask_discriminator/loss": loss_fake + loss_real,
+                    "mask_discriminator/reg": reg,
+                    "mask_discriminator/fake": loss_fake,
+                    "mask_discriminator/real": loss_real,
+                    "mask_discriminator/fake_sign": jnp.mean(jnp.sign(md_fake)),
+                    "mask_discriminator/real_sign": jnp.mean(jnp.sign(md_real)),
+                }
+                return loss, stats
+
+            (_, md_stats), md_grads = jax.value_and_grad(md_loss_fn, has_aux=True)(
+                params["mask_discriminator"]
+            )
+            md_grads = grad_sync(md_grads)
+            ret.update(md_stats)
+            md_upd, md_opt = tx["mask_discriminator"].update(
+                md_grads, state["opt"]["mask_discriminator"], params["mask_discriminator"]
+            )
+            md_params_new = optax.apply_updates(params["mask_discriminator"], md_upd)
+
+            # --------------------------------------------------------- EMAs
+            new_ema = {
+                "ema@0.99": tree_util.ema_update(g_params_new, state["ema"]["ema@0.99"], 0.99),
+                "ema@0.9": tree_util.ema_update(g_params_new, state["ema"]["ema@0.9"], 0.9),
+            }
+
+            new_state = {
+                "params": {
+                    "generator": g_params_new,
+                    "discriminator": d_params_new,
+                    "mask_discriminator": md_params_new,
+                },
+                "opt": {
+                    "generator": g_opt,
+                    "discriminator": d_opt,
+                    "mask_discriminator": md_opt,
+                },
+                "ema": new_ema,
+                "it": it,
+            }
+            return new_state, ret
+
+        if self.mesh is not None:
+            from ..parallel.mesh import data_parallel_step
+
+            return data_parallel_step(step, self.mesh)
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _get_step_fn(self, bs: int):
+        if bs not in self._step_fn_cache:
+            self._step_fn_cache[bs] = self._build_step(bs)
+        return self._step_fn_cache[bs]
+
+    # ----------------------------------------------------------- public API
+
+    def train_step(self, batch: Dict[str, np.ndarray], key: jax.Array) -> Dict[str, jnp.ndarray]:
+        bs = batch["image"].shape[0]
+        step_fn = self._get_step_fn(bs)
+        batch_dev = {"image": jnp.asarray(batch["image"]), "mask": jnp.asarray(batch["mask"])}
+        self.state, stats = step_fn(self.state, batch_dev, key)
+        return stats
+
+    # -------------------------------------------------------- visualization
+
+    def visualize(self, batch: Dict[str, np.ndarray], key: jax.Array) -> None:
+        if self.vis_dir is None:
+            return
+        bs = batch["image"].shape[0]
+        gen = self.generator
+        if bs not in self._vis_fn_cache:
+            self._vis_fn_cache[bs] = jax.jit(
+                lambda g_params, k, it: gen.forward(
+                    g_params, k, bs, it, {}, train=False, return_raw=True
+                )["box"]["render_out"]
+            )
+        k_fwd, k_aug = jax.random.split(key)
+        out = self._vis_fn_cache[bs](self.state["params"]["generator"], k_fwd, self.state["it"])
+        maps = {k: np.asarray(v) for k, v in out.items()}
+        it = self.it
+        d = os.path.join(self.vis_dir, f"it_{it:08d}")
+        for k in ["image", "mask", "color_map", "shading_map", "specular_map",
+                  "no_specular_map", "diff_shading_map", "amb_shading_map"]:
+            if k in maps:
+                save_image_grid(os.path.join(d, f"fake_{k}.png"), maps[k])
+        if "normal_map" in maps:
+            save_image_grid(
+                os.path.join(d, "fake_normal_map.png"), maps["normal_map"][..., ::-1] * 0.5 + 0.5
+            )
+        if "z_map" in maps:
+            z = normalize_batched_tensor(maps["z_map"], xmin=maps["z_min"][:, None, None, None])
+            save_image_grid(os.path.join(d, "fake_z.png"), z)
+        light = np.asarray(
+            self.light_sphere.render(self.state["params"]["generator"]["light"])["shading_map"]
+        )
+        save_image_grid(os.path.join(d, "light.png"), light[None])
+        aug = self.discriminator.augment_only(
+            self.state["params"]["discriminator"], jnp.asarray(batch["image"]), k_aug
+        )
+        save_image_grid(os.path.join(d, "image_aug.png"), np.asarray(aug))
+        save_image_grid(os.path.join(d, "real_image.png"), batch["image"])
+        save_image_grid(os.path.join(d, "real_mask.png"), batch["mask"])
+        if self.writer is not None:
+            from ..utils.visualize import make_grid
+
+            self.writer.add_image("fake/image", make_grid(maps["image"]), it)
+            self.writer.add_image("real/image", make_grid(batch["image"]), it)
+
+    # ----------------------------------------------------------- checkpoint
+
+    def save_checkpoint(self, overwrite: bool = True, epoch: int = -1, **kwargs) -> None:
+        if jax.process_index() != 0:
+            return
+        meta = {"it": self.it, "epoch": epoch}
+        self.checkpoint_io.save("model", self.state, meta)
+        logger.info("saved checkpoint model.npz at it=%d", self.it)
+        if not overwrite:
+            self.checkpoint_io.save(f"it_{self.it:08d}", self.state, meta)
+
+    def load_checkpoint(self, path: str, strict: bool = False) -> Dict:
+        loaded, meta = self.checkpoint_io.load(path)
+        self.state = restore_like(self.state, loaded)
+        logger.info("resumed from %s at it=%d", path, self.it)
+        return meta or {"epoch": -1, "it": self.it}
+
+
+def train_loops(
+    eval_every: int,
+    print_every: int,
+    visualize_every: int,
+    checkpoint_every: int,
+    checkpoint_overwrite: bool,
+    cfg: dict,
+    trainer: Trainer,
+    train_loader,
+    val_loader=None,
+    max_epoch: Optional[int] = None,
+    max_it: Optional[int] = None,
+    epoch: int = -1,
+    seed: int = 0,
+):
+    """Training loop (gan_pose_trainer.py:265-319): scalar logging every
+    ``print_every``, visualization every ``visualize_every``, checkpoints
+    every ``checkpoint_every``, stop at ``max_it``. EMA updates are fused
+    into the jitted step."""
+    assert max_epoch is not None or max_it is not None, "infinite loop"
+    root_key = jax.random.PRNGKey(seed)
+    t0b = time.time()
+    last_print_it = trainer.it
+
+    for batch in train_loader:
+        if max_it is not None and trainer.it > max_it:
+            logger.info("reached max_it=%d", max_it)
+            return
+        step_key = jax.random.fold_in(root_key, trainer.it + 1)
+        stats = trainer.train_step(batch, step_key)
+
+        it = trainer.it
+        if print_every > 0 and it % print_every == 0:
+            stats = {k: float(v) for k, v in stats.items()}
+            dt = time.time() - t0b
+            n_steps = max(it - last_print_it, 1)
+            stats["perf/it_per_sec"] = n_steps / dt
+            rays = trainer.generator.resolution**2 * batch["image"].shape[0] * 3
+            stats["perf/rays_per_sec"] = rays * n_steps / dt
+            main = {
+                k: v for k, v in stats.items()
+                if k.split("/")[0] in ("generator", "discriminator", "mask_discriminator", "perf")
+            }
+            logger.info(
+                "it=%06d %s", it,
+                " ".join(f"{k}={v:.4f}" for k, v in sorted(main.items())),
+            )
+            if trainer.writer is not None:
+                trainer.writer.add_scalars(stats, it)
+            t0b = time.time()
+            last_print_it = it
+
+        if visualize_every > 0 and it % visualize_every == 0:
+            # disjoint stream from the train-step keys (which use it+1 directly)
+            trainer.visualize(batch, jax.random.fold_in(root_key, 2**31 + it))
+
+        if checkpoint_every > 0 and it % checkpoint_every == 0:
+            trainer.save_checkpoint(overwrite=checkpoint_overwrite, epoch=epoch)
+
+
+register_target("src.trainers.gan_pose_trainer.train_loops")(train_loops)

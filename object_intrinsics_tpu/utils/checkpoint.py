@@ -1,0 +1,145 @@
+"""Checkpoint IO: whole-training-state snapshots as flat .npz archives.
+
+Rebuilds src/utils/checkpoint.py (CheckpointIO) without torch pickles: the
+state is a pytree flattened to '/'-joined keys in one compressed .npz plus a
+JSON sidecar for scalars (it, epoch, beta values). Single-file, atomic
+(write-to-temp + rename), and readable without JAX.
+
+Layout compatibility: like the reference's model.pt, one archive carries
+generator/discriminator/mask_discriminator params, optimizer states, and the
+EMA snapshots ('ema@0.99', 'ema@0.9').
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+SEP = "/"
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}{SEP}"))
+    elif isinstance(tree, (list, tuple)):
+        out[f"{prefix}__seq__"] = np.asarray(
+            [len(tree), 1 if isinstance(tree, tuple) else 0], dtype=np.int64
+        )
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}{SEP}"))
+    elif tree is None:
+        out[f"{prefix}__none__"] = np.zeros((), dtype=np.int8)
+    else:
+        out[prefix.rstrip(SEP)] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    # group keys by first path segment
+    if "__none__" in flat and len(flat) == 1:
+        return None
+    if "" in flat and len(flat) == 1:
+        return flat[""]
+    groups: Dict[str, Dict[str, np.ndarray]] = {}
+    leaf = None
+    seq_meta = None
+    for k, v in flat.items():
+        if k == "__seq__":
+            seq_meta = v
+            continue
+        if SEP in k:
+            head, rest = k.split(SEP, 1)
+            groups.setdefault(head, {})[rest] = v
+        else:
+            if k == "__none__":
+                return None
+            groups.setdefault(k, {})[""] = v
+    if seq_meta is not None:
+        n, is_tuple = int(seq_meta[0]), bool(seq_meta[1])
+        items = [_unflatten(groups[str(i)]) for i in range(n)]
+        return tuple(items) if is_tuple else items
+    out = {}
+    for k, sub in groups.items():
+        if list(sub.keys()) == [""]:
+            out[k] = sub[""]
+        else:
+            out[k] = _unflatten(sub)
+    return out
+
+
+def save_pytree(path: str, tree: Any, meta: Optional[dict] = None) -> None:
+    """Atomic single-file save: <path> (.npz) + <path>.json sidecar."""
+    flat = _flatten(jax.device_get(tree))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
+    os.close(fd)
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    if meta is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+
+
+def load_pytree(path: str) -> Tuple[Any, Optional[dict]]:
+    with np.load(path, allow_pickle=False) as f:
+        flat = {k: f[k] for k in f.files}
+    meta = None
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    return _unflatten(flat), meta
+
+
+def restore_like(template: Any, loaded: Any) -> Any:
+    """Map loaded leaves back onto ``template``'s pytree structure.
+
+    Optax states are NamedTuples; they serialize as plain tuples (same leaf
+    order), so a freshly-initialized state serves as the structure template.
+    """
+    leaves = jax.tree.leaves(loaded)
+    treedef = jax.tree.structure(template)
+    t_leaves = jax.tree.leaves(template)
+    assert len(leaves) == len(t_leaves), (len(leaves), len(t_leaves))
+    leaves = [np.asarray(l).astype(t.dtype).reshape(t.shape) if hasattr(t, "shape") else l
+              for l, t in zip(leaves, t_leaves)]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+class CheckpointIO:
+    """Directory-scoped checkpoint manager (src/utils/checkpoint.py:16-147).
+
+    ``save('model', **state)`` writes <dir>/model.npz (+ .json); ``load``
+    returns (state, meta)."""
+
+    def __init__(self, checkpoint_dir: Optional[str]):
+        self.checkpoint_dir = checkpoint_dir
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        assert self.checkpoint_dir is not None
+        if not name.endswith(".npz"):
+            name = name + ".npz"
+        return os.path.join(self.checkpoint_dir, name)
+
+    def save(self, name: str, state: Any, meta: Optional[dict] = None) -> str:
+        p = self.path(name)
+        save_pytree(p, state, meta)
+        return p
+
+    def load(self, name_or_path: str) -> Tuple[Any, Optional[dict]]:
+        p = name_or_path
+        if not os.path.exists(p) and self.checkpoint_dir:
+            p = self.path(name_or_path)
+        return load_pytree(p)

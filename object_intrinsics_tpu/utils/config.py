@@ -68,18 +68,20 @@ def resolve_target(name: str) -> Callable:
         ) from e
 
 
-def build_from_config(cfg: Optional[dict], **kwargs) -> Any:
-    """Instantiate ``cfg['__target__']`` with ``cfg['kwargs'] | kwargs``.
+def build_from_config(node: Optional[dict], **kwargs) -> Any:
+    """Instantiate ``node['__target__']`` with ``node['kwargs'] | kwargs``.
 
     Mirrors tu/utils/config.py:19-25. A bare string is resolved to the target
     callable itself (used for e.g. ``reg: src.loss.gan.compute_grad2``).
+    The parameter is named ``node`` (not ``cfg``) so callers can forward a
+    ``cfg=...`` keyword to the target, as train_loops does.
     """
-    if cfg is None:
+    if node is None:
         return None
-    if isinstance(cfg, str):
-        return resolve_target(cfg)
-    target = resolve_target(cfg["__target__"])
-    merged = dict(cfg.get("kwargs", {}) or {})
+    if isinstance(node, str):
+        return resolve_target(node)
+    target = resolve_target(node["__target__"])
+    merged = dict(node.get("kwargs", {}) or {})
     merged.update(kwargs)
     return target(**merged)
 

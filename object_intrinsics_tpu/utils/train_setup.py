@@ -1,0 +1,144 @@
+"""Training-run assembly: CLI parser, dataset-derived render geometry, log
+dirs, model/optimizer construction.
+
+Rebuilds scripts/train.py:25-115 + tu/train/setup.py:17-90: the per-dataset
+``cfg.yaml`` supplies the scene geometry prior (pose sampler, fov, crop
+sizes); ``scene_fov`` and ``cam_dist`` are derived from the crop ratio when
+absent, and ``scene_resolution`` scales the training resolution by the
+scene/crop size ratio.
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import logging
+import os
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+from .config import (
+    build_from_config,
+    load_cfg_from_dict,
+    load_cfg_from_path,
+    overwrite_cfg,
+    overwrite_cfg_from_dotlist,
+    resolve_with_omegaconf,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-o", "--overwrite", action="store_true", help="overwrite output dir")
+    parser.add_argument("-s", "--seed", type=int, default=0, help="seed")
+    parser.add_argument("-t", "--tag", default=None, type=str, help="tag appended to output dir")
+    parser.add_argument("-d", "--dataset", type=str, required=True, help="dataset directory")
+    parser.add_argument("-c", "--config", type=str, default="train", help="config name or path")
+    parser.add_argument("--log-unique", action="store_true", help="append timestamp to log dir")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="data-parallel over N devices (0 = single device)")
+    parser.add_argument("opts", nargs=argparse.REMAINDER)
+    return parser
+
+
+def read_render_config(cfg_path: str) -> Dict:
+    """Load a dataset's cfg.yaml and complete derived fields
+    (scripts/train.py:25-47):
+
+      scene_fov = 2*atan(tan(fov/2) / crop_ratio),  crop_ratio = img/scene
+      cam_dist  = 1/tan(fov/2)   (object at identity pose has scale 1)
+    """
+    rc = load_cfg_from_dict(load_cfg_from_path(cfg_path), os.path.dirname(cfg_path))
+    if rc.get("fov") is None:
+        raise ValueError(f"{cfg_path} must specify fov")
+    if rc.get("scene_fov") is None:
+        scene = rc["img_size_scene"]
+        scene0 = scene[0] if isinstance(scene, (list, tuple)) else scene
+        crop_ratio = rc["img_size"] / scene0
+        fov = rc["fov"]
+        scene_fov = float(
+            2 * np.arctan(np.tan(0.5 * fov * np.pi / 180) / crop_ratio) * 180 / np.pi
+        )
+        overwrite_cfg(rc, "scene_fov", scene_fov, check_exists=False)
+    if rc.get("cam_dist") is None:
+        cam_dist = float(1.0 / np.tan(0.5 * rc["fov"] * np.pi / 180))
+        overwrite_cfg(rc, "cam_dist", cam_dist, check_exists=False)
+    rc = resolve_with_omegaconf(rc)
+    return rc
+
+
+def overwrite_from_dataset(cfg: Dict) -> None:
+    """Merge the dataset's render config into the train config
+    (scripts/train.py:88-115)."""
+    path = cfg["dataset"]
+    rc = read_render_config(os.path.join(path, "cfg.yaml"))
+
+    scene_fov = rc["scene_fov"][0] if isinstance(rc["scene_fov"], list) else rc["scene_fov"]
+    overwrite_cfg(cfg["data_info"], "scene_fov", scene_fov)
+    overwrite_cfg(cfg["data_info"], "fov", rc["fov"])
+    overwrite_cfg(cfg["data_info"], "cam_dist", rc["cam_dist"])
+    overwrite_cfg(cfg["data_info"], "pose_prior", rc["b2w_scene_prior"])
+
+    if "l2w_scene_prior" in rc:
+        overwrite_cfg(cfg["data_info"], "cam_loc", rc["l2w_scene_prior"]["cam_loc"])
+        overwrite_cfg(cfg["data_info"], "light_loc", rc["l2w_scene_prior"]["light_loc"])
+    else:
+        logger.warning("no l2w_scene_prior in render config; using collocated light")
+
+    scene = rc["img_size_scene"]
+    scene0 = scene[0] if isinstance(scene, (list, tuple)) else scene
+    scene_res = int(cfg["resolution"] * scene0 / rc["img_size"])
+    overwrite_cfg(cfg, "scene_resolution", scene_res)
+    if "opts" in rc:
+        overwrite_cfg_from_dotlist(cfg, rc["opts"])
+
+
+def get_log_dir(args) -> str:
+    tag = f"_{args.dataset}".replace("/", "_")
+    tag += "_" + os.path.basename(args.config).removesuffix(".yaml")
+    if args.tag is not None:
+        tag += f"_{args.tag}"
+    if os.environ.get("DEBUG") == "1":
+        tag += "_debug"
+    if args.log_unique:
+        tag += f"_{datetime.datetime.now().strftime('%Y%m%d_%H%M%S')}"
+    return os.path.join("logs", tag)
+
+
+def get_cfg(args) -> Dict:
+    """Assemble, resolve, and freeze the training config (tu/train/setup.py:53-90)."""
+    cfg_path = args.config if os.path.exists(args.config) else f"configs/{args.config}.yaml"
+    cfg = load_cfg_from_path(cfg_path)
+    cfg = load_cfg_from_dict(cfg, os.path.dirname(cfg_path))
+    overwrite_cfg(cfg, "dataset", args.dataset)
+
+    log_dir = get_log_dir(args)
+    if os.path.exists(log_dir) and not args.overwrite:
+        logger.error("%s exists (pass -o to overwrite)", log_dir)
+        sys.exit(1)
+    overwrite_cfg(cfg, "log_dir", log_dir, check_exists=False)
+
+    overwrite_from_dataset(cfg)
+    overwrite_cfg_from_dotlist(cfg, args.opts)
+    cfg = resolve_with_omegaconf(cfg)
+
+    cfg.setdefault("runtime", {})
+    cfg["runtime"]["args"] = vars(args)
+    cfg["runtime"]["argv"] = sys.argv
+    cfg["runtime"]["slurm_job_id"] = os.environ.get("SLURM_JOB_ID", "local")
+    cfg["runtime"]["slurm_job_name"] = os.environ.get("SLURM_JOB_NAME", "local")
+
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "args.json"), "w") as f:
+        json.dump(vars(args), f, sort_keys=True, indent=4)
+    with open(os.path.join(log_dir, "cfg.json"), "w") as f:
+        json.dump(cfg, f, sort_keys=True, indent=4, default=str)
+    return cfg
+
+
+def set_seed(seed: int) -> None:
+    np.random.seed(seed)

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Training CLI (rebuilds the reference's scripts/train.py for TPU).
+
+    python scripts/train.py -d data/example [-c train] [-s SEED] [-o] \
+        [--mesh N] [key.path=value ...]
+
+Differences from the torch original: no torchrun/DDP process launch — data
+parallelism is single-program SPMD over a jax.sharding.Mesh (--mesh N or all
+visible devices via --mesh -1); per-chip RNG and psum gradient sync replace
+DistributedSampler + NCCL allreduce (scripts/train.py:50-84 in the reference).
+"""
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+# Persistent compilation cache: the fused train step is a large XLA program
+# (~minutes to compile); cache it across processes.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+import object_intrinsics_tpu  # noqa: F401  (registry)
+from object_intrinsics_tpu.trainers.optim import build_optimizer
+from object_intrinsics_tpu.utils.checkpoint import load_pytree
+from object_intrinsics_tpu.utils.config import build_from_config, check_cfg_consistency
+from object_intrinsics_tpu.utils.logging import ScalarWriter, init_logger
+from object_intrinsics_tpu.utils.train_setup import get_cfg, get_parser, set_seed
+from object_intrinsics_tpu.utils.tree import count_params
+
+logger = logging.getLogger("train")
+
+
+def main():
+    init_logger()
+    parser = get_parser()
+    args = parser.parse_args()
+    set_seed(args.seed)
+
+    cfg = get_cfg(args)
+    logger.info("log_dir: %s", cfg["log_dir"])
+
+    mesh = None
+    if args.mesh:
+        from object_intrinsics_tpu.parallel.mesh import make_mesh
+
+        n = args.mesh if args.mesh > 0 else len(jax.devices())
+        mesh = make_mesh(n)
+        logger.info("data-parallel mesh over %d devices", n)
+
+    # ---------------------------------------------------------------- data
+    dataset = build_from_config(cfg["data"])
+    n_chips = 1 if mesh is None else mesh.size
+    global_bs = cfg["training"]["batch_size"] * n_chips
+    train_loader = dataset.batches(global_bs, seed=args.seed)
+
+    # -------------------------------------------------------------- models
+    key = jax.random.PRNGKey(args.seed)
+    modules = {}
+    for i, name in enumerate(["generator", "discriminator", "mask_discriminator"]):
+        model = build_from_config(cfg["model"][name])
+        params = model.init(jax.random.fold_in(key, i))
+        tx = build_optimizer(
+            cfg["training"][f"opt_{name}"], cfg["training"].get(f"sch_{name}")
+        )
+        modules[name] = model
+        modules[f"params_{name}"] = params
+        modules[f"opt_{name}"] = tx
+        logger.info("%s params: %d", name, count_params(params))
+
+    writer = ScalarWriter(cfg["log_dir"]) if jax.process_index() == 0 else None
+
+    trainer = build_from_config(cfg["trainer"], modules=modules, writer=writer, mesh=mesh)
+
+    # ------------------------------------------------------------- resume
+    epoch = -1
+    ckpt_dir = cfg["training"].get("checkpoint_dir")
+    if ckpt_dir:
+        cfg_json = os.path.abspath(os.path.join(ckpt_dir, "..", "..", "cfg.json"))
+        if os.path.exists(cfg_json):
+            with open(cfg_json) as f:
+                check_cfg_consistency(
+                    cfg, json.load(f),
+                    ignore_keys=["log_dir", "runtime*", "training*", "trainer*"],
+                )
+        meta = trainer.load_checkpoint(os.path.join(ckpt_dir, "model.npz"))
+        epoch = meta.get("epoch", -1)
+
+    # -------------------------------------------------------------- train
+    build_from_config(
+        cfg["training"]["train_loops_fn"],
+        cfg=cfg,
+        trainer=trainer,
+        train_loader=train_loader,
+        val_loader=None,
+        epoch=epoch,
+        seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()
