@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark: full three-player training throughput on data/example.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference trains 100k iterations on data/example in ~12 h on
+2x RTX 3090 (README.md:49) = ~2.3 train iters/sec aggregate (BASELINE.md).
+``vs_baseline`` is our single-chip it/s over that aggregate number — i.e.
+>1.0 means one TPU chip beats the whole 2-GPU reference setup.
+
+Flags: --steps N (timed steps), --warmup N, --bs N, --json-only.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+REFERENCE_IT_PER_SEC = 2.3  # 100k it / 12h on 2x3090 (BASELINE.md)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--bs", type=int, default=1)
+    ap.add_argument("--dataset", default="/root/reference/data/example")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    import numpy as np
+
+    import object_intrinsics_tpu  # noqa: F401
+    from __graft_entry__ import _build_trainer
+
+    # Flagship training config: 128x128 crops, 16+4 samples/ray, 3 renders/step
+    # (configs/train.yaml). Sphere-init weights used when converted, matching
+    # real training.
+    sphere = os.path.join(os.path.dirname(__file__), "checkpoints", "sphere_init.npz")
+    trainer = _build_trainer(
+        mesh=None, resolution=128, n_samples=16, n_importance=4,
+        sphere_init=sphere if os.path.exists(sphere) else None,
+    )
+
+    # Real data when present; synthetic otherwise.
+    try:
+        from object_intrinsics_tpu.data.dataset import Dataset
+
+        ds = Dataset(resolution=128, dataset_folder=args.dataset)
+        loader = ds.batches(args.bs, seed=0)
+    except Exception:
+        rng = np.random.RandomState(0)
+
+        def synth():
+            while True:
+                yield {
+                    "image": rng.rand(args.bs, 128, 128, 3).astype(np.float32),
+                    "mask": (rng.rand(args.bs, 128, 128, 1) > 0.5).astype(np.float32),
+                }
+
+        loader = synth()
+
+    key = jax.random.PRNGKey(0)
+    t_compile = time.time()
+    for i in range(args.warmup):
+        stats = trainer.train_step(next(loader), jax.random.fold_in(key, i))
+    jax.block_until_ready(stats)
+    compile_s = time.time() - t_compile
+
+    # Two timed windows; if throughput doesn't scale linearly the async
+    # dispatch isn't being awaited correctly and we take the larger window.
+    t0 = time.time()
+    for i in range(args.steps):
+        stats = trainer.train_step(next(loader), jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(stats)
+    dt1 = time.time() - t0
+
+    t0 = time.time()
+    for i in range(args.steps * 2):
+        stats = trainer.train_step(next(loader), jax.random.fold_in(key, 500 + i))
+    jax.block_until_ready(stats)
+    dt2 = time.time() - t0
+
+    it_per_sec = min(args.steps / dt1, args.steps * 2 / dt2)
+    rays_per_sec = it_per_sec * args.bs * 128 * 128 * 3  # 3 renders per step
+    result = {
+        "metric": "train_iters_per_sec (data/example, 128px, bs=1/chip, 3 renders/step)",
+        "value": round(it_per_sec, 4),
+        "unit": "it/s",
+        "vs_baseline": round(it_per_sec / REFERENCE_IT_PER_SEC, 4),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "rays_per_sec_per_chip": round(rays_per_sec),
+                    "warmup_plus_compile_s": round(compile_s, 1),
+                    "steps_timed": args.steps,
+                    "projected_100k_it_hours": round(100000 / it_per_sec / 3600, 2),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

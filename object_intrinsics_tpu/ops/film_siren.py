@@ -27,6 +27,17 @@ Params = Dict[str, Any]
 
 LRELU_SLOPE = 0.2
 
+# Matmul precision for the field MLPs. TPU 'default' runs fp32 operands as a
+# single bf16 MXU pass — fast, but SIREN phases (gamma ~ 30) lose ~0.1 rad of
+# accuracy, which visibly degrades the SDF. 'high' (bf16_3x) restores ~fp32
+# phase accuracy at ~1/3 MXU rate; 'highest' (bf16_6x) is exact fp32.
+# Override with OI_MATMUL_PRECISION=default|high|highest.
+MATMUL_PRECISION = __import__("os").environ.get("OI_MATMUL_PRECISION", "high")
+
+
+def _dot(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(x, w, precision=MATMUL_PRECISION)
+
 
 def _kaiming_normal(key, in_dim, out_dim, a=LRELU_SLOPE, scale=1.0):
     gain = np.sqrt(2.0 / (1.0 + a * a))
@@ -57,7 +68,7 @@ def init_linear(key, in_dim: int, out_dim: int, *, freq_init=False, is_first=Fal
 def apply_linear(p: Params, x: jnp.ndarray, std_init: float = 1.0, bias_init: float = 0.0) -> jnp.ndarray:
     """``std_init * (x @ w + b) + bias_init`` — the constants are *not* params
     (the reference stores them as plain attributes, volume_renderer.py:24-28)."""
-    out = x @ p["w"] + p["b"]
+    out = _dot(x, p["w"]) + p["b"]
     if std_init != 1.0:
         out = std_init * out
     if bias_init != 0.0:
@@ -86,7 +97,7 @@ def apply_mapping_mlp(layers: List[Params], z: jnp.ndarray) -> jnp.ndarray:
     """Latent z -> style w. lrelu(z @ w + b) per layer, slope 0.2, scale 1."""
     x = z
     for p in layers:
-        x = jax.nn.leaky_relu(x @ p["w"] + p["b"], LRELU_SLOPE)
+        x = jax.nn.leaky_relu(_dot(x, p["w"]) + p["b"], LRELU_SLOPE)
     return x
 
 
@@ -117,7 +128,7 @@ def film_gamma_beta(p: Params, style: jnp.ndarray):
 def apply_film_siren(p: Params, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
     """x: (bs, n, in_dim), style: (bs, style_dim) -> (bs, n, out_dim)."""
     gamma, beta = film_gamma_beta(p, style)
-    h = x @ p["w"] + p["b"]
+    h = _dot(x, p["w"]) + p["b"]
     return jnp.sin(gamma[:, None, :] * h + beta[:, None, :])
 
 

@@ -1,0 +1,45 @@
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from object_intrinsics_tpu.utils.checkpoint import (
+    load_pytree,
+    restore_like,
+    save_pytree,
+)
+
+
+def test_pytree_roundtrip(tmp_path):
+    tree = {
+        "a": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "nested": {"b": np.float32(1.5), "lst": [np.zeros(2), np.ones(3)]},
+        "tup": (np.asarray(1), np.asarray([2, 3])),
+        "none": None,
+        "scalar": jnp.asarray(7, dtype=jnp.int32),
+    }
+    path = str(tmp_path / "state.npz")
+    save_pytree(path, tree, meta={"it": 5})
+    loaded, meta = load_pytree(path)
+    assert meta == {"it": 5}
+    assert np.allclose(loaded["a"], tree["a"])
+    assert float(loaded["nested"]["b"]) == 1.5
+    assert isinstance(loaded["nested"]["lst"], list) and len(loaded["nested"]["lst"]) == 2
+    assert isinstance(loaded["tup"], tuple)
+    assert loaded["none"] is None
+    assert int(loaded["scalar"]) == 7
+
+
+def test_restore_like_optax_state(tmp_path):
+    params = {"w": jnp.ones((3, 2)), "b": jnp.zeros(2)}
+    tx = optax.adam(1e-3)
+    state = tx.init(params)
+    path = str(tmp_path / "opt.npz")
+    save_pytree(path, state)
+    loaded, _ = load_pytree(path)
+    restored = restore_like(tx.init(params), loaded)
+    # same structure (named tuples) and same leaves
+    assert type(restored) is type(state)
+    for a, b in zip(
+        __import__("jax").tree.leaves(state), __import__("jax").tree.leaves(restored)
+    ):
+        assert np.allclose(np.asarray(a), np.asarray(b))
