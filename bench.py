@@ -66,11 +66,18 @@ def main():
 
         loader = synth()
 
+    def sync(stats):
+        # Fetch a value rather than block_until_ready: on the axon TPU tunnel,
+        # executables loaded from the persistent compilation cache report
+        # their outputs ready immediately, so only an actual device_get
+        # observes true completion.
+        return float(stats["generator/loss"])
+
     key = jax.random.PRNGKey(0)
     t_compile = time.time()
     for i in range(args.warmup):
         stats = trainer.train_step(next(loader), jax.random.fold_in(key, i))
-    jax.block_until_ready(stats)
+    sync(stats)
     compile_s = time.time() - t_compile
 
     # Two timed windows; if throughput doesn't scale linearly the async
@@ -78,13 +85,13 @@ def main():
     t0 = time.time()
     for i in range(args.steps):
         stats = trainer.train_step(next(loader), jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(stats)
+    sync(stats)
     dt1 = time.time() - t0
 
     t0 = time.time()
     for i in range(args.steps * 2):
         stats = trainer.train_step(next(loader), jax.random.fold_in(key, 500 + i))
-    jax.block_until_ready(stats)
+    sync(stats)
     dt2 = time.time() - t0
 
     it_per_sec = min(args.steps / dt1, args.steps * 2 / dt2)
