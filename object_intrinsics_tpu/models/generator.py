@@ -86,11 +86,20 @@ class Generator:
         renderer: dict,
         anneal_end: int,
         pose_prior: dict,
+        use_pallas: Optional[bool] = None,
     ):
         self.z_dim = int(z_dim)
         self.resolution = int(resolution)
         self.scene_resolution = int(scene_resolution)
         self.anneal_end = int(anneal_end)
+
+        if use_pallas is None:
+            # Opt-in: on a v5e the fused Pallas trunk currently ties XLA on
+            # the forward (both are VPU-sin + 3-pass-matmul bound) and loses
+            # on forward+gradient, so the XLA path is the default. Kept as
+            # infrastructure for wider-MXU parts / future Mosaic versions.
+            use_pallas = False
+        self.use_pallas = bool(use_pallas)
 
         self.camera: Camera = build_from_config(camera)
         self.pose_prior = build_from_config(pose_prior)
@@ -171,12 +180,45 @@ class Generator:
 
     # --------------------------------------------------------------- render
 
-    def _field_fns(self, params: Params, w: jnp.ndarray) -> FieldFns:
+    def _field_fns(self, params: Params, w: jnp.ndarray, fast: bool) -> FieldFns:
+        """Field closures for the renderer.
+
+        The coarse importance pass always runs the fused Pallas trunk behind
+        stop_gradient (its samples are detached anyway, renderer.py:390 in
+        the reference, so no autodiff rule is needed). With ``fast=True`` —
+        used for the no-grad discriminator-step renders and evaluation — the
+        fine pass also runs the Pallas kernel with its in-kernel analytic
+        normal; otherwise the fine pass stays pure-JAX so jax.grad can
+        differentiate the generator loss through it.
+        """
         sdf_p = params["sdf_network"]
         color_p = params["color_network"]
+        sg = jax.lax.stop_gradient
+
+        if self.use_pallas:
+            sdf_p_sg = sg(sdf_p)
+
+            def coarse_sdf(pts):
+                return fields.shape_forward_pallas(sdf_p_sg, sg(pts), sg(w))[0]
+
+        else:
+            def coarse_sdf(pts):
+                return fields.shape_sdf(sdf_p, pts, w)
+
+        if fast and self.use_pallas:
+            def sdf_grad(pts):
+                sdf, feat, grad = fields.shape_forward_pallas(
+                    sg(sdf_p), sg(pts), sg(w), with_grad=True
+                )
+                return sdf, grad, feat
+
+        else:
+            def sdf_grad(pts):
+                return fields.shape_sdf_grad(sdf_p, pts, w)
+
         return FieldFns(
-            sdf=lambda pts: fields.shape_sdf(sdf_p, pts, w),
-            sdf_grad=lambda pts: fields.shape_sdf_grad(sdf_p, pts, w),
+            sdf=coarse_sdf,
+            sdf_grad=sdf_grad,
             color=lambda feat, normals: fields.color_forward(color_p, feat, normals, w),
             inv_s=fields.deviation_inv_s(params["deviation_network"]),
         )
@@ -189,6 +231,7 @@ class Generator:
         latent_info: Dict,
         it: jnp.ndarray,
         train: bool,
+        fast: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         bs, h, w_, _ = rays_info["rays_o"].shape
         rays_o = rays_info["rays_o"].reshape(bs, h * w_, 3)
@@ -201,7 +244,7 @@ class Generator:
         style = latent_info["w"]
 
         cos_anneal_ratio = jnp.minimum(1.0, it / self.anneal_end).astype(jnp.float32)
-        fns = self._field_fns(params, style)
+        fns = self._field_fns(params, style, fast=fast)
         out = neus_render(
             self.rcfg,
             fns,
@@ -304,6 +347,7 @@ class Generator:
         data: Dict,
         train: bool = True,
         return_raw: bool = False,
+        fast: bool = False,
     ) -> Dict[str, Any]:
         """One full generative render (src/models/generator.py:186-231).
 
@@ -314,7 +358,7 @@ class Generator:
         prior_info = self.sample_prior(params, k_pose, bs, data)
         latent_info = self.sample_latent(params, k_z, bs, data)
         rays_info = self.gen_rays_at(data, prior_info)
-        render_out = self.render(params, k_perturb, rays_info, latent_info, it, train)
+        render_out = self.render(params, k_perturb, rays_info, latent_info, it, train, fast=fast)
         latent_info = render_out.pop("latent_info")
 
         if "bg_color" in data:

@@ -125,11 +125,27 @@ def film_gamma_beta(p: Params, style: jnp.ndarray):
     return gamma, beta
 
 
+def fold_film(p: Params, style: jnp.ndarray):
+    """Fold the FiLM modulation into the affine layer:
+
+        sin(gamma (x W + b) + beta) == sin(x (W diag(gamma)) + (gamma b + beta))
+
+    gamma/beta are per-batch-sample constants over all points, so folding
+    removes two VPU ops per activation element from the hot loop (both
+    directions of autodiff) at the cost of one tiny (in,out) scale per layer.
+    Returns (w_g (bs, in, out), b_g (bs, out)).
+    """
+    gamma, beta = film_gamma_beta(p, style)
+    w_g = p["w"][None, :, :] * gamma[:, None, :]
+    b_g = p["b"][None, :] * gamma + beta
+    return w_g, b_g
+
+
 def apply_film_siren(p: Params, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
     """x: (bs, n, in_dim), style: (bs, style_dim) -> (bs, n, out_dim)."""
-    gamma, beta = film_gamma_beta(p, style)
-    h = _dot(x, p["w"]) + p["b"]
-    return jnp.sin(gamma[:, None, :] * h + beta[:, None, :])
+    w_g, b_g = fold_film(p, style)
+    h = jnp.einsum("bni,bio->bno", x, w_g, precision=MATMUL_PRECISION)
+    return jnp.sin(h + b_g[:, None, :])
 
 
 # --------------------------------------------------------------------------

@@ -170,7 +170,7 @@ class Trainer:
             g_params_new = optax.apply_updates(params["generator"], g_upd)
 
             # ------------------------- discriminator step (image + aux pose)
-            out_d = gen.forward(g_params_new, k_d_render, bs_, it, {}, train=True)["box"]
+            out_d = gen.forward(g_params_new, k_d_render, bs_, it, {}, train=True, fast=True)["box"]
             x_fake_d = jax.lax.stop_gradient(out_d["render_out"]["image"])
             c2b = jax.lax.stop_gradient(out_d["prior_info"]["c2b"])
             pose_target = gen.pose_prior.pose_to_vec_repr(c2b)
@@ -213,7 +213,7 @@ class Trainer:
             d_params_new = optax.apply_updates(params["discriminator"], d_upd)
 
             # ------------------------------------- mask discriminator step
-            out_m = gen.forward(g_params_new, k_m_render, bs_, it, {}, train=True)["box"]
+            out_m = gen.forward(g_params_new, k_m_render, bs_, it, {}, train=True, fast=True)["box"]
             m_fake = jax.lax.stop_gradient(out_m["render_out"]["mask"])
 
             def md_loss_fn(md_params):
@@ -297,7 +297,7 @@ class Trainer:
         if bs not in self._vis_fn_cache:
             self._vis_fn_cache[bs] = jax.jit(
                 lambda g_params, k, it: gen.forward(
-                    g_params, k, bs, it, {}, train=False, return_raw=True
+                    g_params, k, bs, it, {}, train=False, return_raw=True, fast=True
                 )["box"]["render_out"]
             )
         k_fwd, k_aug = jax.random.split(key)

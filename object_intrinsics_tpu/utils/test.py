@@ -91,7 +91,7 @@ def run_for_model(model: Dict, data_iter, fps: int = 25):
     it = jnp.asarray(model["it"], dtype=jnp.int32)
 
     fwd = jax.jit(
-        lambda p, key, data: gen.forward(p, key, 1, it, data, train=False, return_raw=True)
+        lambda p, key, data: gen.forward(p, key, 1, it, data, train=False, return_raw=True, fast=True)
     )
 
     rearrange_fn = None
