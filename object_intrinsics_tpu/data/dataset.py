@@ -25,8 +25,20 @@ logger = logging.getLogger(__name__)
 
 
 def read_rgba(path: str, size: Optional[tuple] = None, mask_threshold: int = 128):
-    """RGBA png -> (rgb uint8 (h,w,3), mask bool (h,w)). cv2 with PIL fallback
-    (src/utils/preprocess.py:5-20)."""
+    """RGBA png -> (rgb uint8 (h,w,3), mask bool (h,w)).
+
+    Decode/resize order of preference: native C++ library (native/dataio.cpp,
+    our replacement for the reference's cv2 dependency,
+    src/utils/preprocess.py:5-20) -> cv2 -> PIL."""
+    from . import native_io
+
+    if native_io.available():
+        arr = native_io.decode_png(path)
+        if arr is not None and arr.shape[2] == 4:
+            if size is not None:
+                arr = native_io.resize_bilinear(arr, size)
+            return arr[:, :, :3], arr[:, :, 3] >= mask_threshold
+
     arr = None
     try:
         import cv2

@@ -85,17 +85,25 @@ def _filter_size(f) -> Tuple[int, int]:
     return f.shape[-1], f.shape[-2]  # (fw, fh)
 
 
-def _depthwise_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+def _depthwise_conv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    strides=(1, 1),
+    padding=((0, 0), (0, 0)),
+    lhs_dilation=(1, 1),
+) -> jnp.ndarray:
     """x: (N, H, W, C); kernel: (kh, kw) broadcast across channels."""
     C = x.shape[-1]
     k = jnp.broadcast_to(kernel[:, :, None, None], (*kernel.shape, 1, C)).astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x,
         k,
-        window_strides=(1, 1),
-        padding="VALID",
+        window_strides=strides,
+        padding=padding,
+        lhs_dilation=lhs_dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -108,7 +116,21 @@ def upfirdn2d(
     flip_filter: bool = False,
     gain: float = 1.0,
 ) -> jnp.ndarray:
-    """Matches _upfirdn2d_ref (upfirdn2d.py:169-208) on NHWC tensors."""
+    """Matches _upfirdn2d_ref (upfirdn2d.py:169-208) on NHWC tensors.
+
+    Implementation note: everything folds into ONE canonical XLA convolution
+    per separable pass — lhs_dilation expresses the zero-insertion upsample,
+    window_strides the decimation, and (possibly negative) conv padding the
+    pad/crop. This is deliberate: a previous formulation (manual zero-insert
+    reshape + jnp.pad/slice crop + stride-1 conv + strided-slice decimation)
+    produced numerically wrong inner gradients inside grad-of-grad programs
+    on the axon TPU backend (~140% error, R1 training diverged); the
+    canonical conv form lowers through XLA's well-tested conv transpose
+    rules on all backends. The trailing (up-1) zeros of the reference's
+    zero-insertion are recovered by adding (up-1) to the high padding.
+    Runs at HIGHEST precision — FIR filtering is cheap and the R1 objective
+    is precision-sensitive.
+    """
     assert x.ndim == 4
     if f is None:
         f = np.ones((1, 1), dtype=np.float32)
@@ -116,30 +138,6 @@ def upfirdn2d(
     upx, upy = _parse_scaling(up)
     downx, downy = _parse_scaling(down)
     padx0, padx1, pady0, pady1 = _parse_padding(padding)
-    N, H, W, C = x.shape
-
-    # Upsample by inserting zeros.
-    if upx > 1 or upy > 1:
-        x = x.reshape(N, H, 1, W, 1, C)
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, upy - 1), (0, 0), (0, upx - 1), (0, 0)))
-        x = x.reshape(N, H * upy, W * upx, C)
-
-    # Pad or crop.
-    x = jnp.pad(
-        x,
-        (
-            (0, 0),
-            (max(pady0, 0), max(pady1, 0)),
-            (max(padx0, 0), max(padx1, 0)),
-            (0, 0),
-        ),
-    )
-    x = x[
-        :,
-        max(-pady0, 0) : x.shape[1] - max(-pady1, 0),
-        max(-padx0, 0) : x.shape[2] - max(-padx1, 0),
-        :,
-    ]
 
     # Setup filter: gain, then flip (convolution vs correlation).
     f = f * (gain ** (f.ndim / 2))
@@ -147,15 +145,21 @@ def upfirdn2d(
     if not flip_filter:
         f = jnp.flip(f, axis=tuple(range(f.ndim)))
 
-    # Convolve (depthwise); separable 1-D filters run as two passes.
+    pad_h = (pady0, pady1 + upy - 1)
+    pad_w = (padx0, padx1 + upx - 1)
     if f.ndim == 1:
-        x = _depthwise_conv(x, f[None, :])
-        x = _depthwise_conv(x, f[:, None])
+        # separable: H pass then W pass (axes independent, order-free)
+        x = _depthwise_conv(
+            x, f[:, None], strides=(downy, 1), padding=(pad_h, (0, 0)), lhs_dilation=(upy, 1)
+        )
+        x = _depthwise_conv(
+            x, f[None, :], strides=(1, downx), padding=((0, 0), pad_w), lhs_dilation=(1, upx)
+        )
     else:
-        x = _depthwise_conv(x, f)
-
-    # Downsample by discarding pixels.
-    return x[:, ::downy, ::downx, :]
+        x = _depthwise_conv(
+            x, f, strides=(downy, downx), padding=(pad_h, pad_w), lhs_dilation=(upy, upx)
+        )
+    return x
 
 
 def filter2d(x, f, padding=0, flip_filter=False, gain=1.0):

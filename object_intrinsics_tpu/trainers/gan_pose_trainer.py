@@ -199,6 +199,8 @@ class Trainer:
                     "discriminator/aux_pose": loss_aux,
                     "discriminator/fake_sign": jnp.mean(jnp.sign(d_fake)),
                     "discriminator/real_sign": jnp.mean(jnp.sign(d_real)),
+                    "discriminator/fake_logit": jnp.mean(d_fake),
+                    "discriminator/real_logit": jnp.mean(d_real),
                 }
                 return loss, stats
 
@@ -232,6 +234,8 @@ class Trainer:
                     "mask_discriminator/real": loss_real,
                     "mask_discriminator/fake_sign": jnp.mean(jnp.sign(md_fake)),
                     "mask_discriminator/real_sign": jnp.mean(jnp.sign(md_real)),
+                    "mask_discriminator/fake_logit": jnp.mean(md_fake),
+                    "mask_discriminator/real_logit": jnp.mean(md_real),
                 }
                 return loss, stats
 
@@ -244,6 +248,10 @@ class Trainer:
                 md_grads, state["opt"]["mask_discriminator"], params["mask_discriminator"]
             )
             md_params_new = optax.apply_updates(params["mask_discriminator"], md_upd)
+
+            ret["param_norm/discriminator"] = tree_util.global_norm(d_params_new)
+            ret["param_norm/mask_discriminator"] = tree_util.global_norm(md_params_new)
+            ret["param_norm/generator"] = tree_util.global_norm(g_params_new)
 
             # --------------------------------------------------------- EMAs
             new_ema = {

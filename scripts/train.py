@@ -23,6 +23,14 @@ import jax
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
+# Debug hooks: DEBUG=1 enables NaN checking (the torch.autograd.set_detect_anomaly
+# analog, reference scripts/train.py:125-126); OI_GLOBAL_PRECISION overrides the
+# matmul precision for ALL ops (including discriminator convs).
+if os.environ.get("DEBUG") == "1":
+    jax.config.update("jax_debug_nans", True)
+if os.environ.get("OI_GLOBAL_PRECISION"):
+    jax.config.update("jax_default_matmul_precision", os.environ["OI_GLOBAL_PRECISION"])
+
 import object_intrinsics_tpu  # noqa: F401  (registry)
 from object_intrinsics_tpu.trainers.optim import build_optimizer
 from object_intrinsics_tpu.utils.checkpoint import load_pytree
