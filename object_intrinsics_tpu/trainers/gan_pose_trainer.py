@@ -382,14 +382,55 @@ def train_loops(
     t0b = time.time()
     last_print_it = trainer.it
 
+    # graceful preemption: checkpoint on SIGTERM/SIGINT then exit (the
+    # reference's only recovery path is restart-from-checkpoint; this makes
+    # the checkpoint exist when the scheduler kills the job)
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _on_term(signum, frame):
+        logger.warning("signal %d received; checkpointing and stopping", signum)
+        stop_requested["flag"] = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_term)
+        except ValueError:  # not main thread
+            pass
+
+    debug = os.environ.get("DEBUG") == "1"
+
     for batch in train_loader:
+        if stop_requested["flag"]:
+            trainer.save_checkpoint(overwrite=True, epoch=epoch)
+            logger.info("checkpointed at it=%d after signal; exiting", trainer.it)
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
+            return
         if max_it is not None and trainer.it > max_it:
             logger.info("reached max_it=%d", max_it)
             return
+        profile_dir = os.environ.get("OI_PROFILE_DIR")
+        if profile_dir and trainer.it + 1 == 10:
+            jax.profiler.start_trace(profile_dir)
         step_key = jax.random.fold_in(root_key, trainer.it + 1)
         stats = trainer.train_step(batch, step_key)
+        if profile_dir and trainer.it == 15:
+            jax.block_until_ready(stats)
+            jax.profiler.stop_trace()
+            logger.info("wrote profiler trace to %s", profile_dir)
 
         it = trainer.it
+        if debug and trainer.mesh is not None and it < 10:
+            # the check_ddp_consistency analog (tu/ddp.py:215-225): verify the
+            # replicated state is identical on every chip for the first steps
+            from ..parallel.mesh import consistency_check
+
+            assert consistency_check(trainer.state["params"], trainer.mesh), (
+                f"replicated params diverged across chips at it={it}"
+            )
         if print_every > 0 and it % print_every == 0:
             stats = {k: float(v) for k, v in stats.items()}
             dt = time.time() - t0b

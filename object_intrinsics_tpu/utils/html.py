@@ -40,10 +40,9 @@ class HTMLVisualizer:
     def add_video_cell(self, frames, fps: int = 25, fmt: str = "mp4") -> str:
         from .visualize import save_video
 
-        path = self._asset_path(f".{fmt}")
-        save_video(path, frames, fps=fps)
+        path = save_video(self._asset_path(f".{fmt}"), frames, fps=fps)
         rel = os.path.relpath(path, self.out_dir)
-        if fmt == "gif":
+        if path.endswith(".gif"):
             return f'<img src="{rel}" />'
         return f'<video autoplay loop muted playsinline src="{rel}"></video>'
 

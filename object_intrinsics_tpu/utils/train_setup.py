@@ -41,6 +41,8 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--log-unique", action="store_true", help="append timestamp to log dir")
     parser.add_argument("--mesh", type=int, default=0,
                         help="data-parallel over N devices (0 = single device)")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="capture a jax.profiler trace of train steps 10-15 into this dir")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     return parser
 

@@ -59,13 +59,29 @@ def normalize_batched_tensor(x: np.ndarray, xmin=None, xmax=None) -> np.ndarray:
     return (x - xmin) / np.maximum(xmax - xmin, 1e-8)
 
 
-def save_video(path: str, frames: List[np.ndarray], fps: int = 25) -> None:
-    """frames: list of (h, w, 3) float [0,1]. Writes GIF or MP4 by extension."""
+def has_mp4_backend() -> bool:
+    try:
+        import imageio_ffmpeg  # noqa: F401
+
+        return True
+    except ImportError:
+        import shutil
+
+        return shutil.which("ffmpeg") is not None
+
+
+def save_video(path: str, frames: List[np.ndarray], fps: int = 25) -> str:
+    """frames: list of (h, w, 3) float [0,1]. Writes GIF or MP4 by extension;
+    silently downgrades mp4 -> gif when no ffmpeg backend exists. Returns the
+    path actually written."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     frames8 = [to_uint8(f) for f in frames]
-    try:
-        import imageio
+    import imageio
 
+    if path.endswith(".mp4") and not has_mp4_backend():
+        path = os.path.splitext(path)[0] + ".gif"
+        logger.info("no mp4 backend available; writing %s", path)
+    try:
         if path.endswith(".gif"):
             imageio.mimsave(path, frames8, duration=1000.0 / fps, loop=0)
         else:
@@ -75,3 +91,4 @@ def save_video(path: str, frames: List[np.ndarray], fps: int = 25) -> None:
         stem = os.path.splitext(path)[0]
         for i, f in enumerate(frames8):
             save_image(f"{stem}_{i:04d}.png", f / 255.0)
+    return path

@@ -86,7 +86,7 @@ def get_data_iter_latent_walk(cfg, model):
     gen = model["generator"]
     params = model["params"]
     num_keyframes = 16
-    z = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (num_keyframes, gen.z_dim)))
+    z = np.array(jax.random.normal(jax.random.PRNGKey(3), (num_keyframes, gen.z_dim)))
     z[-1] = z[0]  # closed loop
     w = np.asarray(fields.shape_style(params["sdf_network"], z))
     interp = scipy.interpolate.interp1d(

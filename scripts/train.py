@@ -50,6 +50,8 @@ def main():
 
     cfg = get_cfg(args)
     logger.info("log_dir: %s", cfg["log_dir"])
+    if args.profile:
+        os.environ["OI_PROFILE_DIR"] = args.profile
 
     mesh = None
     if args.mesh:

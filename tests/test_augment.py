@@ -99,3 +99,26 @@ def test_full_reference_config_statistics():
     per_sample_diff = np.abs(out - np.asarray(x)).mean(axis=(1, 2, 3))
     assert (per_sample_diff > 1e-4).mean() > 0.9
     assert out.min() > -0.5 and out.max() < 1.5
+
+
+def test_inner_gradient_consistent_inside_double_grad():
+    """Regression for the axon-TPU grad-of-grad miscompile: the inner
+    gradient computed inside an R1-style composed program must equal the
+    same gradient computed standalone (this guards the jaxpr structure; the
+    TPU backend comparison lives in the bisection scripts)."""
+    pipe = AugmentPipe(scale=1, xint=1, p=1.0)
+    x = jnp.asarray(_smooth_image(bs=1, res=32))
+    key = jax.random.PRNGKey(9)
+    w = jnp.asarray(np.random.RandomState(0).randn(32 * 32 * 3).astype(np.float32) * 0.01)
+
+    def head(xi):
+        return jnp.sum(pipe(key, xi).reshape(-1) * w)
+
+    gx_direct = jax.jit(jax.grad(head))(x)
+
+    def reg_and_gx(xx):
+        gx = jax.grad(head)(xx)
+        return jnp.sum(gx**2), gx
+
+    _, gx_composed = jax.jit(reg_and_gx)(x)
+    assert np.allclose(np.asarray(gx_direct), np.asarray(gx_composed), atol=1e-6)
