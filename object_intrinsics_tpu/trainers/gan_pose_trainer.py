@@ -89,6 +89,10 @@ class Trainer:
             },
             "it": jnp.asarray(it, dtype=jnp.int32),
         }
+        # Host-side mirror of the iteration counter: reading state["it"] from
+        # the device costs a full pipeline drain + tunnel round-trip (~0.3 s),
+        # and the train loop consults the counter several times per step.
+        self._it_host = int(it)
 
         self.writer = writer
         if writer is not None:
@@ -107,7 +111,7 @@ class Trainer:
 
     @property
     def it(self) -> int:
-        return int(self.state["it"])
+        return self._it_host
 
     def _build_step(self, bs: int):
         """One full adversarial step as a pure function; jitted with donation.
@@ -293,6 +297,7 @@ class Trainer:
         step_fn = self._get_step_fn(bs)
         batch_dev = {"image": jnp.asarray(batch["image"]), "mask": jnp.asarray(batch["mask"])}
         self.state, stats = step_fn(self.state, batch_dev, key)
+        self._it_host += 1
         return stats
 
     # -------------------------------------------------------- visualization
@@ -354,6 +359,7 @@ class Trainer:
     def load_checkpoint(self, path: str, strict: bool = False) -> Dict:
         loaded, meta = self.checkpoint_io.load(path)
         self.state = restore_like(self.state, loaded)
+        self._it_host = int(np.asarray(self.state["it"]))
         logger.info("resumed from %s at it=%d", path, self.it)
         return meta or {"epoch": -1, "it": self.it}
 

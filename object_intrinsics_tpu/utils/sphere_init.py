@@ -36,14 +36,18 @@ def _flat_from_npz(path: str) -> Dict[str, np.ndarray]:
 
 
 def load_sphere_init_flat(path: str) -> Dict[str, np.ndarray]:
-    if path.endswith(".npz"):
-        return _flat_from_npz(path)
-    if path.endswith(".pt"):
-        return _flat_from_torch(path)
-    # try sibling .npz first (pre-converted), then .pt
+    """Load by extension; a missing ``.pt`` falls back to the pre-converted
+    sibling ``.npz`` so reference configs (checkpoint_path: ...sphere_init.pt)
+    work without the torch artifact present."""
     base, _ = os.path.splitext(path)
+    if path.endswith(".npz") and os.path.exists(path):
+        return _flat_from_npz(path)
+    if path.endswith(".pt") and os.path.exists(path):
+        return _flat_from_torch(path)
     if os.path.exists(base + ".npz"):
         return _flat_from_npz(base + ".npz")
+    if os.path.exists(base + ".pt"):
+        return _flat_from_torch(base + ".pt")
     raise FileNotFoundError(path)
 
 
