@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Extract a triangle mesh of the learned SDF from a trained run.
+
+    python scripts/extract_mesh.py -p logs/<run> [-res 128] [-ema 0.99]
+                                   [--threshold 0] [-z SEED | --mean-z] [-o out.obj]
+
+Parity: the reference exposes extract_geometry on the NeuS renderer via the
+external ``mcubes`` package (neus/models/renderer.py:475-492) but no CLI ever
+calls it; here it is a first-class tool using the self-contained marching-
+tetrahedra implementation (ops/marching_cubes.py). The reference meshes
+``-sdf`` at threshold 0 — same convention here.
+"""
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import object_intrinsics_tpu  # noqa: F401
+from object_intrinsics_tpu.models import fields
+from object_intrinsics_tpu.ops.marching_cubes import extract_geometry, save_obj
+from object_intrinsics_tpu.utils.test import inference_setup
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger(__name__)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-p", "--path", required=True, help="run dir or checkpoint path")
+    ap.add_argument("-res", "--resolution", type=int, default=128, help="grid resolution")
+    ap.add_argument("-ema", "--ema", type=float, default=None, choices=[0.9, 0.99])
+    ap.add_argument("--threshold", type=float, default=0.0)
+    ap.add_argument("-z", "--seed", type=int, default=0, help="latent seed")
+    ap.add_argument("--mean-z", action="store_true", help="use the zero latent")
+    ap.add_argument("--bound", type=float, default=1.0)
+    ap.add_argument("-o", "--out", default=None)
+    args = ap.parse_args()
+
+    cfg, model, model_info = inference_setup(args.path, ema=args.ema)
+    if model is None:
+        logger.error("no model found at %s", args.path)
+        sys.exit(1)
+    gen = model["generator"]
+    params = model["params"]
+
+    if args.mean_z:
+        z = jnp.zeros((1, gen.z_dim))
+    else:
+        z = jax.random.normal(jax.random.PRNGKey(args.seed), (1, gen.z_dim))
+    w = fields.shape_style(params["sdf_network"], z)
+
+    sdf_fn = jax.jit(
+        lambda pts: fields.shape_sdf(params["sdf_network"], pts[None], w)[0, :, 0]
+    )
+
+    def query(pts_np):
+        return -np.asarray(sdf_fn(jnp.asarray(pts_np, dtype=jnp.float32)))
+
+    b = args.bound
+    verts, faces = extract_geometry(
+        [-b, -b, -b], [b, b, b], args.resolution, args.threshold, query
+    )
+    out = args.out or os.path.join(
+        "logs", "meshes", f"{os.path.basename(str(args.path)).strip('/')}_it{model_info['it']}.obj"
+    )
+    save_obj(out, verts, faces)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
