@@ -17,7 +17,6 @@ TPU-first divergences from the reference:
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional
 
 import jax

@@ -19,8 +19,6 @@ EMAs) compiles into one fused TPU executable with donated buffers.
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
 import logging
 import os
 import time
@@ -64,7 +62,13 @@ class Trainer:
         loss_modules: Dict[str, Any],
         it: int = -1,
         mesh=None,
+        share_fake_render: bool = False,
     ):
+        # share_fake_render=True feeds ONE fresh no-grad render to both
+        # discriminator steps instead of the reference's two independent
+        # samples (gan_pose_trainer.py:84-90) — ~20% faster, slightly less
+        # sample diversity per step. Off by default for parity.
+        self.share_fake_render = bool(share_fake_render)
         self.modules = modules
         self.module_keys = MODULE_KEYS
         self.generator = modules["generator"]
@@ -219,7 +223,10 @@ class Trainer:
             d_params_new = optax.apply_updates(params["discriminator"], d_upd)
 
             # ------------------------------------- mask discriminator step
-            out_m = gen.forward(g_params_new, k_m_render, bs_, it, {}, train=True, fast=True)["box"]
+            if self.share_fake_render:
+                out_m = out_d
+            else:
+                out_m = gen.forward(g_params_new, k_m_render, bs_, it, {}, train=True, fast=True)["box"]
             m_fake = jax.lax.stop_gradient(out_m["render_out"]["mask"])
 
             def md_loss_fn(md_params):
