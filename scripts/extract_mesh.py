@@ -42,7 +42,11 @@ def main():
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args()
 
-    cfg, model, model_info = inference_setup(args.path, ema=args.ema)
+    try:
+        cfg, model, model_info = inference_setup(args.path, ema=args.ema)
+    except FileNotFoundError as e:
+        logger.error("not a run directory or checkpoint: %s (%s)", args.path, e)
+        sys.exit(1)
     if model is None:
         logger.error("no model found at %s", args.path)
         sys.exit(1)
