@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--bs", type=int, default=1)
     ap.add_argument("--dataset", default="/root/reference/data/example")
+    ap.add_argument("--share-fake-render", action="store_true",
+                    help="one no-grad render feeds both D steps (non-parity perf option)")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +49,7 @@ def main():
         mesh=None, resolution=128, n_samples=16, n_importance=4,
         sphere_init=sphere if os.path.exists(sphere) else None,
     )
+    trainer.share_fake_render = args.share_fake_render
 
     # Real data when present; synthetic otherwise.
     try:
