@@ -1,0 +1,89 @@
+"""Distributional parity of the device-side pose samplers against the
+reference's own numpy/scipy samplers (imported from the mounted repo;
+torch-CPU suffices for its pose helpers)."""
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref_samplers():
+    sys.path.insert(0, REF)
+    from src.utils import pose_sampler as ref_ps
+
+    return ref_ps
+
+
+def _stats(b2w):
+    rot = b2w[:, :3, :3]
+    t = b2w[:, :3, 3]
+    fwd = rot @ np.array([0, 0, 1.0])
+    return {
+        "t_mean": t.mean(0),
+        "t_std": t.std(0),
+        "fwd_mean": fwd.mean(0),
+        "fwd_std": fwd.std(0),
+    }
+
+
+def _close(a, b, atol):
+    for k in a:
+        assert np.allclose(a[k], b[k], atol=atol), (k, a[k], b[k])
+
+
+def test_plane_sampler_distribution_matches(ref_samplers):
+    from object_intrinsics_tpu.utils.pose_sampler import Plane
+
+    kw = dict(cam_loc=[0, -1, 0], rot_degree_range_scale=360,
+              xy_range_scale=[6, 3.5], rot_roll_degree_range_scale=20)
+    np.random.seed(0)
+    ref = ref_samplers.Plane(**kw)(4096)
+    ours = np.asarray(Plane(**kw)(jax.random.PRNGKey(0), 4096))
+    _close(_stats(ours), _stats(ref), atol=0.12)
+
+
+def test_sphere_sampler_distribution_matches(ref_samplers):
+    from object_intrinsics_tpu.utils.pose_sampler import Sphere
+
+    np.random.seed(1)
+    ref = ref_samplers.Sphere()(4096)
+    ours = np.asarray(Sphere()(jax.random.PRNGKey(1), 4096))
+    _close(_stats(ours), _stats(ref), atol=0.08)
+    # acceptance-region marginals of the forward axis
+    for b2w in (ref, ours):
+        v = b2w[:, :3, :3] @ np.array([0, 0, 1.0])
+        assert (v[:, 2] < 0).all()
+        assert (v[:, 1] > -0.7).all() and (v[:, 1] < 0.3).all()
+
+
+def test_hemisphere_sampler_distribution_matches(ref_samplers):
+    from object_intrinsics_tpu.utils.pose_sampler import Hemisphere
+
+    np.random.seed(2)
+    ref = ref_samplers.Hemisphere()(4096)
+    ours = np.asarray(Hemisphere()(jax.random.PRNGKey(2), 4096))
+    _close(_stats(ours), _stats(ref), atol=0.08)
+
+
+def test_pose_to_vec_repr_matches(ref_samplers):
+    import jax.numpy as jnp
+
+    from object_intrinsics_tpu.utils.pose_sampler import BasePose
+
+    np.random.seed(3)
+    ref_poses = ref_samplers.Plane(
+        cam_loc=[0, -1, 0], rot_degree_range_scale=360,
+        xy_range_scale=[6, 3.5], rot_roll_degree_range_scale=20,
+    )(8)
+    import torch
+
+    # the reference's impl uses torch-style flatten(-2, -1)
+    ref_repr = ref_samplers.BasePose.pose_to_vec_repr(torch.tensor(ref_poses)).numpy()
+    ours = np.asarray(BasePose.pose_to_vec_repr(jnp.asarray(ref_poses)))
+    assert np.allclose(ours, ref_repr, atol=1e-6)
