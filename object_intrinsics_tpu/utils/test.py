@@ -121,7 +121,10 @@ def run(log_dir: str, get_data_iter_fn: Callable, vi: str, save_frames: bool = F
         log_dir, test_resolution, depth_multiplier, ema=ema
     )
     html_dir = vi
-    if not force_update and glob.glob(os.path.join(html_dir, "assets", "*.mp4")):
+    existing = glob.glob(os.path.join(html_dir, "assets", "*.mp4")) + glob.glob(
+        os.path.join(html_dir, "assets", "*.gif")
+    )
+    if not force_update and existing:
         logger.info("found existing output: %s", html_dir)
         return cfg, model
     if model is None:
