@@ -178,9 +178,23 @@ class Trainer:
             g_params_new = optax.apply_updates(params["generator"], g_upd)
 
             # ------------------------- discriminator step (image + aux pose)
-            out_d = gen.forward(g_params_new, k_d_render, bs_, it, {}, train=True, fast=True)["box"]
-            x_fake_d = jax.lax.stop_gradient(out_d["render_out"]["image"])
-            c2b = jax.lax.stop_gradient(out_d["prior_info"]["c2b"])
+            sg = jax.lax.stop_gradient
+            if self.share_fake_render:
+                out_d = gen.forward(g_params_new, k_d_render, bs_, it, {}, train=True, fast=True)["box"]
+                x_fake_d = sg(out_d["render_out"]["image"])
+                c2b = sg(out_d["prior_info"]["c2b"])
+                m_fake = sg(out_d["render_out"]["mask"])
+            else:
+                # Two independent fresh fakes, one for each discriminator step
+                # (reference order: gan_pose_trainer.py:84-90), rendered as ONE
+                # bs=2*bs batched render: identical iid (pose, z, bg) samples,
+                # but half the fixed per-render overhead of two programs.
+                out_dm = gen.forward(
+                    g_params_new, k_d_render, 2 * bs_, it, {}, train=True, fast=True
+                )["box"]
+                x_fake_d = sg(out_dm["render_out"]["image"][:bs_])
+                c2b = sg(out_dm["prior_info"]["c2b"][:bs_])
+                m_fake = sg(out_dm["render_out"]["mask"][bs_:])
             pose_target = gen.pose_prior.pose_to_vec_repr(c2b)
 
             def d_loss_fn(d_params):
@@ -223,12 +237,6 @@ class Trainer:
             d_params_new = optax.apply_updates(params["discriminator"], d_upd)
 
             # ------------------------------------- mask discriminator step
-            if self.share_fake_render:
-                out_m = out_d
-            else:
-                out_m = gen.forward(g_params_new, k_m_render, bs_, it, {}, train=True, fast=True)["box"]
-            m_fake = jax.lax.stop_gradient(out_m["render_out"]["mask"])
-
             def md_loss_fn(md_params):
                 md_real_fn = lambda x: mask_disc.apply(md_params, x, k_m_aug_r)[:, :1]
                 md_real, vjp_fn = jax.vjp(md_real_fn, mask_real)
@@ -424,6 +432,7 @@ def train_loops(
             return
         if max_it is not None and trainer.it > max_it:
             logger.info("reached max_it=%d", max_it)
+            trainer.save_checkpoint(overwrite=True, epoch=epoch)
             return
         profile_dir = os.environ.get("OI_PROFILE_DIR")
         if profile_dir and trainer.it + 1 == 10:

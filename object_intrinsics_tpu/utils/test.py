@@ -128,6 +128,9 @@ def run(log_dir: str, get_data_iter_fn: Callable, vi: str, save_frames: bool = F
         logger.info("found existing output: %s", html_dir)
         return cfg, model
     if model is None:
+        logger.warning(
+            "nothing to render for %s (missing checkpoint or it=0)", log_dir
+        )
         return None, None
 
     viz = HTMLVisualizer(html_dir, title=os.path.basename(html_dir))
