@@ -1,24 +1,30 @@
-"""Ray-sharded evaluation rendering: the structural analog of sequence
-parallelism for this workload (SURVEY §2.7).
+"""Ray-sharded / ray-chunked evaluation rendering: the structural analog of
+sequence parallelism for this workload (SURVEY §2.7).
 
 The reference bounds render memory with a serial host-side chunk loop
 (MAX_RAY_BATCH_SIZE, src/models/generator.py:14,286-305; test-time -depth/-res
-flags shrink the chunk, scripts/test.py:278-281). Here the ray batch of an
-evaluation render shards across the device mesh instead: each chip renders a
-contiguous slice of the pixel rays (params replicated, rays split over the
-'data' axis), and the composited per-ray maps gather back into full images.
-Memory per chip falls linearly with mesh size, so test-time super-resolution
-(-res 512 -depth 16) renders in one pass instead of a Python loop.
+flags shrink the chunk, scripts/test.py:278-281). Two TPU-native equivalents:
+
+  * ``sharded_eval_render`` — the ray batch shards across the device mesh:
+    each chip renders a contiguous slice of the pixel rays (params
+    replicated, rays split over the 'data' axis) and the composited per-ray
+    maps gather back into full images. Memory per chip falls linearly with
+    mesh size.
+  * ``chunked_eval_render`` — one-chip memory bounding: a serial loop over
+    fixed-shape ray tiles (one compiled executable, re-dispatched per tile),
+    mirroring the reference's MAX_RAY_BATCH_SIZE semantics so
+    ``-res 512 -depth 16`` renders within a single chip's HBM. When several
+    devices are visible each tile is additionally sharded over the mesh.
 """
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .mesh import DATA_AXIS, shard_map
+from .mesh import DATA_AXIS, make_mesh, shard_map
 
 
 def sharded_eval_render(gen, params, data: Dict, mesh: Mesh, bs: int = 1,
@@ -50,20 +56,13 @@ def sharded_eval_render(gen, params, data: Dict, mesh: Mesh, bs: int = 1,
         rays_d = jax.lax.dynamic_slice_in_dim(
             rays_info["rays_d"].reshape(bs, R, 3), idx * shard, shard, axis=1
         )
-        # render the ray slice as a (shard, 1) pseudo-image
-        shard_rays = {
-            "rays_o": rays_o.reshape(bs, shard, 1, 3),
-            "rays_d": rays_d.reshape(bs, shard, 1, 3),
-        }
-        render_out = gen.render(params, None, shard_rays, latent_info, it_arr, train=False)
-        render_out.pop("latent_info", None)
         if "bg_color" in data:
             bg = jnp.asarray(data["bg_color"], dtype=jnp.float32)
         else:
             bg = jnp.ones((bs, 3), dtype=jnp.float32)
-
-        maps = _composite_rays(gen, params, bg, render_out, rays_o, prior_info)
-        return maps  # dict of (bs, shard, c)
+        return _render_ray_slice(
+            gen, params, rays_o, rays_d, latent_info, prior_info, bg, it_arr
+        )  # dict of (bs, shard, c)
 
     fn = shard_map(
         per_chip, mesh,
@@ -72,6 +71,109 @@ def sharded_eval_render(gen, params, data: Dict, mesh: Mesh, bs: int = 1,
     )
     flat = jax.jit(fn)(params, data)
     return {k: v.reshape(bs, res, res, v.shape[-1]) for k, v in flat.items()}
+
+
+def _render_ray_slice(gen, params, rays_o, rays_d, latent_info, prior_info, bg, it_arr):
+    """Render a flat (bs, n, 3) ray slice as a (n, 1) pseudo-image and
+    composite to per-ray maps (the per-ray core of Generator.render_maps)."""
+    bs, n, _ = rays_o.shape
+    slice_rays = {
+        "rays_o": rays_o.reshape(bs, n, 1, 3),
+        "rays_d": rays_d.reshape(bs, n, 1, 3),
+    }
+    render_out = gen.render(params, None, slice_rays, latent_info, it_arr, train=False)
+    render_out.pop("latent_info", None)
+    return _composite_rays(gen, params, bg, render_out, rays_o, prior_info)
+
+
+def chunked_eval_render(
+    gen,
+    params,
+    data: Dict,
+    *,
+    bs: int = 1,
+    it: int = 0,
+    key=None,
+    max_ray_batch: int = 128 * 128,
+    mesh: Optional[Mesh] = None,
+):
+    """Memory-bounded evaluation render: a serial host loop over fixed-shape
+    ray tiles of at most ``max_ray_batch`` rays (the reference's
+    MAX_RAY_BATCH_SIZE chunking, src/models/generator.py:286-305; test-time
+    ``-depth k`` divides the tile size, scripts/test.py:278-281).
+
+    Every tile re-dispatches ONE compiled executable (static shapes), so peak
+    HBM is bounded by the tile, not the image. If ``mesh`` is given (or more
+    than one device is visible) each tile's rays also shard across the mesh.
+    ``data`` must pin 'b2w' and 'z' or 'w' so every tile/chip agrees on the
+    scene. Returns full NHWC maps (image/mask/normal_map/shading_map/color_map).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    res = gen.resolution
+    R = res * res
+    it_arr = jnp.asarray(it, dtype=jnp.int32)
+
+    if mesh is None and jax.device_count() > 1:
+        mesh = make_mesh()
+    n_dev = mesh.size if mesh is not None else 1
+
+    chunk = int(min(max(max_ray_batch, 1), R))
+    # keep tiles mesh-divisible; fall back to single-device tiles otherwise
+    if mesh is not None and chunk % n_dev != 0:
+        chunk = max(chunk - chunk % n_dev, n_dev) if chunk >= n_dev else chunk
+        if chunk % n_dev != 0:
+            mesh, n_dev = None, 1
+    n_chunks = -(-R // chunk)
+    pad = n_chunks * chunk - R
+
+    # scene setup is tiny: run it eagerly once, shared by every tile
+    prior_info = gen.sample_prior(params, key, bs, data)
+    latent_info = gen.sample_latent(params, key, bs, data)
+    if "w" not in latent_info:
+        from ..models import fields
+
+        latent_info = dict(latent_info)
+        latent_info["w"] = fields.shape_style(params["sdf_network"], latent_info["z"])
+    rays_info = gen.gen_rays_at(data, prior_info)
+    rays_o = rays_info["rays_o"].reshape(bs, R, 3)
+    rays_d = rays_info["rays_d"].reshape(bs, R, 3)
+    if pad:
+        rays_o = jnp.concatenate([rays_o, rays_o[:, :pad]], axis=1)
+        rays_d = jnp.concatenate([rays_d, rays_d[:, :pad]], axis=1)
+    if "bg_color" in data:
+        bg = jnp.asarray(data["bg_color"], dtype=jnp.float32)
+    else:
+        bg = jnp.ones((bs, 3), dtype=jnp.float32)
+
+    def tile_fn(params, ro, rd, latent_info, prior_info, bg):
+        return _render_ray_slice(gen, params, ro, rd, latent_info, prior_info, bg, it_arr)
+
+    if mesh is not None:
+        per_dev = chunk // n_dev
+
+        def tile_sharded(params, ro, rd, latent_info, prior_info, bg):
+            idx = jax.lax.axis_index(DATA_AXIS)
+            ro = jax.lax.dynamic_slice_in_dim(ro, idx * per_dev, per_dev, axis=1)
+            rd = jax.lax.dynamic_slice_in_dim(rd, idx * per_dev, per_dev, axis=1)
+            return tile_fn(params, ro, rd, latent_info, prior_info, bg)
+
+        fn = jax.jit(
+            shard_map(
+                tile_sharded, mesh,
+                in_specs=(P(), P(), P(), P(), P(), P()),
+                out_specs=P(None, DATA_AXIS),
+            )
+        )
+    else:
+        fn = jax.jit(tile_fn)
+
+    out = []
+    for c in range(n_chunks):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        out.append(fn(params, rays_o[:, sl], rays_d[:, sl], latent_info, prior_info, bg))
+    maps = {k: jnp.concatenate([o[k] for o in out], axis=1)[:, :R] for k in out[0]}
+    return {k: v.reshape(bs, res, res, v.shape[-1]) for k, v in maps.items()}
 
 
 def _composite_rays(gen, params, bg_color, render_out, rays_o, prior_info):

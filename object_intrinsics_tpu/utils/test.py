@@ -83,16 +83,35 @@ def inference_setup(log_dir: str, test_resolution=None, depth_multiplier=None,
     return cfg, model, model_info
 
 
-def run_for_model(model: Dict, data_iter, fps: int = 25):
+MAX_RAY_BATCH_SIZE = 128 * 128  # rays per render tile (src/models/generator.py:14)
+
+
+def run_for_model(model: Dict, data_iter, fps: int = 25,
+                  max_ray_batch: int = MAX_RAY_BATCH_SIZE):
     """Render each frame; returns {'image','normal','shading'} -> list of maps
-    (src/utils/test.py:131-155). White background at test time."""
+    (src/utils/test.py:131-155). White background at test time.
+
+    Frames whose ray x sample volume exceeds one tile (``-res``/``-depth``
+    beyond the training configuration) render through the memory-bounded
+    chunked/sharded path (parallel/ray_sharding.chunked_eval_render) instead
+    of one monolithic jit region — the reference's MAX_RAY_BATCH_SIZE
+    chunking (src/models/generator.py:286-305, scripts/test.py:278-281)."""
     gen = model["generator"]
     params = model["params"]
     it = jnp.asarray(model["it"], dtype=jnp.int32)
 
-    fwd = jax.jit(
-        lambda p, key, data: gen.forward(p, key, 1, it, data, train=False, return_raw=True, fast=True)
-    )
+    chunked = gen.resolution * gen.resolution > max_ray_batch
+    if chunked:
+        from ..parallel.ray_sharding import chunked_eval_render
+
+        logger.info(
+            "rendering %dx%d in ray tiles of %d (memory-bounded eval path)",
+            gen.resolution, gen.resolution, max_ray_batch,
+        )
+    else:
+        fwd = jax.jit(
+            lambda p, key, data: gen.forward(p, key, 1, it, data, train=False, return_raw=True, fast=True)
+        )
 
     rearrange_fn = None
     maps_all = {"image": [], "normal": [], "shading": []}
@@ -103,8 +122,13 @@ def run_for_model(model: Dict, data_iter, fps: int = 25):
             continue
         data = dict(data)
         data["bg_color"] = np.ones((1, 3), dtype=np.float32)  # white bg
-        blob = fwd(params, jax.random.fold_in(key, i), data)["box"]
-        ro = blob["render_out"]
+        if chunked:
+            ro = chunked_eval_render(
+                gen, params, data, it=model["it"],
+                key=jax.random.fold_in(key, i), max_ray_batch=max_ray_batch,
+            )
+        else:
+            ro = fwd(params, jax.random.fold_in(key, i), data)["box"]["render_out"]
         maps_all["image"].append(np.asarray(ro["image"][0]))
         maps_all["normal"].append(np.asarray(ro["normal_map"][0, ..., ::-1]) * 0.5 + 0.5)
         maps_all["shading"].append(np.asarray(ro["shading_map"][0]))
@@ -115,7 +139,8 @@ def run_for_model(model: Dict, data_iter, fps: int = 25):
 
 
 def run(log_dir: str, get_data_iter_fn: Callable, vi: str, save_frames: bool = False,
-        test_resolution=None, depth_multiplier=None, ema=None, force_update=False):
+        test_resolution=None, depth_multiplier=None, ema=None, force_update=False,
+        max_ray_batch: Optional[int] = None):
     """Full inference entry (src/utils/test.py:21-48)."""
     cfg, model, model_info = inference_setup(
         log_dir, test_resolution, depth_multiplier, ema=ema
@@ -135,7 +160,11 @@ def run(log_dir: str, get_data_iter_fn: Callable, vi: str, save_frames: bool = F
 
     viz = HTMLVisualizer(html_dir, title=os.path.basename(html_dir))
     data_iter = iter(get_data_iter_fn(cfg, model))
-    maps_all = run_for_model(model, data_iter)
+    # -depth k multiplies samples/ray, so it divides the rays-per-tile budget
+    # (the reference shrinks MAX_RAY_BATCH_SIZE the same way, scripts/test.py:278-281)
+    if max_ray_batch is None:
+        max_ray_batch = max(MAX_RAY_BATCH_SIZE // (depth_multiplier or 1), 1)
+    maps_all = run_for_model(model, data_iter, max_ray_batch=max_ray_batch)
 
     row = [viz.add_video_cell(maps_all[k], fps=25, fmt="mp4") for k in maps_all]
     row_gif = [viz.add_video_cell(maps_all[k], fps=25, fmt="gif") for k in maps_all]
