@@ -39,23 +39,22 @@ def main():
     import numpy as np
 
     import object_intrinsics_tpu  # noqa: F401
-    from __graft_entry__ import _build_trainer
+    from object_intrinsics_tpu.utils.config import build_from_config
+    from object_intrinsics_tpu.utils.train_setup import build_modules, get_cfg, get_parser
 
-    # Flagship training config: 128x128 crops, 16+4 samples/ray, 3 renders/step
-    # (configs/train.yaml). Sphere-init weights used when converted, matching
-    # real training.
-    sphere = os.path.join(os.path.dirname(__file__), "checkpoints", "sphere_init.npz")
-    trainer = _build_trainer(
-        mesh=None, resolution=128, n_samples=16, n_importance=4,
-        sphere_init=sphere if os.path.exists(sphere) else None,
-    )
+    # Build the EXACT flagship training program through the real config
+    # system (configs/train.yaml + the dataset's cfg.yaml), so the benched
+    # executable is provably the one scripts/train.py trains — any yaml
+    # change is automatically benched.
+    train_args = get_parser().parse_args(["-d", args.dataset, "-o", "-t", "bench"])
+    cfg = get_cfg(train_args, freeze=False)
+    modules = build_modules(cfg, seed=0)
+    trainer = build_from_config(cfg["trainer"], modules=modules, writer=None, mesh=None)
     trainer.share_fake_render = args.share_fake_render
 
     # Real data when present; synthetic otherwise.
     try:
-        from object_intrinsics_tpu.data.dataset import Dataset
-
-        ds = Dataset(resolution=128, dataset_folder=args.dataset)
+        ds = build_from_config(cfg["data"])
         loader = ds.batches(args.bs, seed=0)
     except Exception:
         rng = np.random.RandomState(0)

@@ -9,12 +9,19 @@ from .utils import pose_sampler as _pose_sampler  # noqa: F401
 
 
 def _optional(name: str) -> None:
+    """Import a registering module if it exists. Only a *missing module file*
+    is tolerated (partial checkouts); any other import-time failure — a bug
+    inside the module or a missing dependency — propagates with its real
+    traceback instead of degrading into a confusing "cannot resolve
+    __target__" KeyError at config-build time."""
     import importlib
 
+    full = __package__ + name  # name is package-relative (".models.foo")
     try:
         importlib.import_module(name, package=__package__)
-    except ImportError:
-        pass
+    except ModuleNotFoundError as e:
+        if e.name != full:
+            raise
 
 
 # modules added as the framework grows; optional so partial checkouts import

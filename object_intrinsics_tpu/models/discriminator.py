@@ -112,6 +112,55 @@ class ADADiscriminator:
 
 
 @register_target(
+    "src.models.discriminator.DCDiscriminator",
+    "object_intrinsics_tpu.models.discriminator.DCDiscriminator",
+)
+class DCDiscriminator(ADADiscriminator):
+    """Plain DCGAN stack without the ADA front-end
+    (src/models/discriminator.py:49-86). Unused by the shipped configs but a
+    valid ``__target__`` in the reference schema."""
+
+    def __init__(self, in_dim: int = 3, out_dim: int = 1, n_feat: int = 512,
+                 img_size: int = 64, last_bias: bool = False):
+        super().__init__(img_size=img_size, in_dim=in_dim, out_dim=out_dim,
+                         n_feat=n_feat, last_bias=last_bias, aug=None)
+
+
+@register_target(
+    "src.models.discriminator.ResnetBlock",
+    "object_intrinsics_tpu.models.discriminator.ResnetBlock",
+)
+class ResnetBlock:
+    """Pre-activation residual block ``x_s + 0.1 * conv(lrelu(conv(lrelu(x))))``
+    with an optional learned 1x1 shortcut (src/models/discriminator.py:8-46).
+    Dead in the shipped configs; carried for registry parity."""
+
+    def __init__(self, fin: int, fout: int, fhidden: Optional[int] = None,
+                 is_bias: bool = True):
+        self.fin = int(fin)
+        self.fout = int(fout)
+        self.fhidden = int(fhidden) if fhidden is not None else min(self.fin, self.fout)
+        self.is_bias = bool(is_bias)
+        self.learned_shortcut = self.fin != self.fout
+
+    def init(self, key: jax.Array) -> Params:
+        k0, k1, ks = jax.random.split(key, 3)
+        p = {
+            "conv_0": _conv_init(k0, 3, 3, self.fin, self.fhidden, bias=True),
+            "conv_1": _conv_init(k1, 3, 3, self.fhidden, self.fout, bias=self.is_bias),
+        }
+        if self.learned_shortcut:
+            p["conv_s"] = _conv_init(ks, 1, 1, self.fin, self.fout, bias=False)
+        return p
+
+    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        x_s = _conv(x, params["conv_s"], stride=1, padding=0) if self.learned_shortcut else x
+        dx = _conv(jax.nn.leaky_relu(x, LRELU_SLOPE), params["conv_0"], stride=1, padding=1)
+        dx = _conv(jax.nn.leaky_relu(dx, LRELU_SLOPE), params["conv_1"], stride=1, padding=1)
+        return x_s + 0.1 * dx
+
+
+@register_target(
     "src.models.discriminator.ADADiscriminatorView",
     "object_intrinsics_tpu.models.discriminator.ADADiscriminatorView",
 )

@@ -78,12 +78,37 @@ def data_parallel_step(step: Callable, mesh: Mesh):
     return jax.jit(fn, donate_argnums=(0,))
 
 
+def state_hash(state) -> jnp.ndarray:
+    """Integer hash of a pytree's raw bit patterns: (2,) uint32.
+
+    Bitcast-to-uint32 with position-dependent mixing and two mod-2^32
+    accumulators — bitwise-sensitive, so diverging values cannot cancel the
+    way a float-sum fingerprint could."""
+
+    def leaf_hash(x):
+        x = x.ravel()
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+        else:
+            bits = x.astype(jnp.uint32)
+        idx = jnp.arange(bits.shape[0], dtype=jnp.uint32)
+        mixed = bits * jnp.uint32(2654435761) + idx * jnp.uint32(40503)
+        return jnp.stack([jnp.sum(mixed), jnp.sum(mixed * mixed + bits)])
+
+    return sum(leaf_hash(x) for x in jax.tree.leaves(state))
+
+
 def consistency_check(state, mesh: Mesh) -> bool:
-    """Verify the replicated state is bitwise-consistent across chips."""
+    """Verify the replicated state is bitwise-consistent across chips.
+
+    The fingerprint is an integer hash over the raw bit patterns
+    (bitcast-to-uint32, mixed with a position-dependent multiplier), so two
+    diverged chips cannot cancel the way a float-sum fingerprint could — the
+    integer analog of the reference's elementwise broadcast-and-compare
+    (tu/ddp.py:215-225), without shipping full tensors across chips."""
 
     def fingerprint(s):
-        h = sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(s))
-        return jax.lax.all_gather(h, DATA_AXIS)
+        return jax.lax.all_gather(state_hash(s), DATA_AXIS)
 
     fn = shard_map(fingerprint, mesh, in_specs=(P(),), out_specs=P(DATA_AXIS))
     hashes = np.asarray(jax.jit(fn)(state))

@@ -268,6 +268,13 @@ class Trainer:
             )
             md_params_new = optax.apply_updates(params["mask_discriminator"], md_upd)
 
+            # per-optimizer learning rates (reference logs lr/opt_* every
+            # step, gan_pose_trainer.py:95-99); schedules are pure fns of it
+            for k in MODULE_KEYS:
+                sched = getattr(tx[k], "lr_schedule", None)
+                if sched is not None:
+                    ret[f"lr/opt_{k}"] = jnp.asarray(sched(it), dtype=jnp.float32)
+
             ret["param_norm/discriminator"] = tree_util.global_norm(d_params_new)
             ret["param_norm/mask_discriminator"] = tree_util.global_norm(md_params_new)
             ret["param_norm/generator"] = tree_util.global_norm(g_params_new)

@@ -23,6 +23,17 @@ import optax
 from ..utils.config import register_target
 
 
+class GradientTransformationWithLR(NamedTuple):
+    """optax GradientTransformation plus the LR schedule that drives it, so
+    the trainer can log lr/opt_* scalars per step like the reference
+    (src/trainers/gan_pose_trainer.py:95-99) without restructuring the
+    optimizer state."""
+
+    init: optax.TransformInitFn
+    update: optax.TransformUpdateFn
+    lr_schedule: object  # Callable[[count], lr]
+
+
 class ScaleByRmspropTorchState(NamedTuple):
     nu: optax.Updates
 
@@ -62,7 +73,10 @@ def adam(lr: float, betas=(0.9, 0.999), eps: float = 1e-8, weight_decay: float =
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
         chain.append(optax.scale_by_learning_rate(schedule if schedule is not None else lr))
-        return optax.chain(*chain)
+        base = optax.chain(*chain)
+        return GradientTransformationWithLR(
+            base.init, base.update, schedule if schedule is not None else (lambda c: lr)
+        )
 
     build.base_lr = lr
     return build
@@ -71,9 +85,12 @@ def adam(lr: float, betas=(0.9, 0.999), eps: float = 1e-8, weight_decay: float =
 @register_target("torch.optim.RMSprop", "object_intrinsics_tpu.trainers.optim.rmsprop")
 def rmsprop(lr: float, alpha: float = 0.99, eps: float = 1e-8):
     def build(schedule=None):
-        return optax.chain(
+        base = optax.chain(
             scale_by_rmsprop_torch(alpha=alpha, eps=eps),
             optax.scale_by_learning_rate(schedule if schedule is not None else lr),
+        )
+        return GradientTransformationWithLR(
+            base.init, base.update, schedule if schedule is not None else (lambda c: lr)
         )
 
     build.base_lr = lr

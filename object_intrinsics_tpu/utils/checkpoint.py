@@ -106,14 +106,31 @@ def restore_like(template: Any, loaded: Any) -> Any:
 
     Optax states are NamedTuples; they serialize as plain tuples (same leaf
     order), so a freshly-initialized state serves as the structure template.
+
+    Shape mismatches are hard errors: a checkpoint from a different
+    architecture must fail loudly, never be silently reshaped into the
+    template (scalars stored as size-1 arrays are the one tolerated case).
     """
     leaves = jax.tree.leaves(loaded)
     treedef = jax.tree.structure(template)
     t_leaves = jax.tree.leaves(template)
     assert len(leaves) == len(t_leaves), (len(leaves), len(t_leaves))
-    leaves = [np.asarray(l).astype(t.dtype).reshape(t.shape) if hasattr(t, "shape") else l
-              for l, t in zip(leaves, t_leaves)]
-    return jax.tree.unflatten(treedef, leaves)
+    out = []
+    for i, (l, t) in enumerate(zip(leaves, t_leaves)):
+        if not hasattr(t, "shape"):
+            out.append(l)
+            continue
+        arr = np.asarray(l)
+        if tuple(arr.shape) != tuple(t.shape) and not (
+            arr.size == 1 and int(np.prod(t.shape, dtype=np.int64)) == 1
+        ):
+            raise ValueError(
+                f"checkpoint/template shape mismatch at leaf {i}: "
+                f"loaded {arr.shape} vs expected {tuple(t.shape)} — refusing "
+                f"to reshape (wrong architecture?)"
+            )
+        out.append(arr.astype(t.dtype).reshape(t.shape))
+    return jax.tree.unflatten(treedef, out)
 
 
 class CheckpointIO:

@@ -66,9 +66,15 @@ class Sphere(BasePose):
     """Uniform rotations filtered by a view-cone on the forward axis, then a
     random roll about the canonical axis (src/utils/pose_sampler.py:28-60).
 
-    Rejection sampling runs on-device with a fixed oversampling factor: the
-    acceptance region (vec_z < 0, -0.7 < vec_y < 0.3) covers ~25% of the
-    sphere, so 16x oversampling fails with negligible probability.
+    Rejection sampling runs on-device as a ``lax.while_loop`` over fixed-size
+    candidate batches: each round draws bs*OVERSAMPLE uniform rotations and
+    fills still-empty slots with accepted ones, looping until every slot is
+    filled — like the reference's host-side rejection loop
+    (pose_sampler.py:120-137), this *never* returns a rejected pose (a fixed
+    single-round oversample leaks a rejected rotation with probability
+    0.75^16 ~ 1% per step at bs=1). Acceptance region (vec_z < 0,
+    -0.7 < vec_y < 0.3) covers ~25% of the sphere, so the loop almost always
+    exits after one round.
     """
 
     OVERSAMPLE = 16
@@ -83,12 +89,27 @@ class Sphere(BasePose):
     def __call__(self, key: jax.Array, bs: int) -> jnp.ndarray:
         k_rot, k_roll = jax.random.split(key)
         n = bs * self.OVERSAMPLE
-        rot = _sample_uniform_rotations(k_rot, n)  # (n, 3, 3)
         cvec = jnp.asarray(self._canonical_vec)
-        vec = jnp.einsum("nij,j->ni", rot, cvec)
-        accept = (vec[:, 2] < 0) & (vec[:, 1] > -0.7) & (vec[:, 1] < 0.3)
-        order = jnp.argsort(~accept, stable=True)  # accepted first
-        rot = rot[order[:bs]]
+
+        def draw(k):
+            rot = _sample_uniform_rotations(k, n)  # (n, 3, 3)
+            vec = jnp.einsum("nij,j->ni", rot, cvec)
+            accept = (vec[:, 2] < 0) & (vec[:, 1] > -0.7) & (vec[:, 1] < 0.3)
+            order = jnp.argsort(~accept, stable=True)  # accepted first
+            return rot[order[:bs]], accept[order[:bs]]
+
+        def body(carry):
+            k, rot, ok = carry
+            k, sub = jax.random.split(k)
+            cand, cand_ok = draw(sub)
+            rot = jnp.where(ok[:, None, None], rot, cand)
+            return k, rot, ok | cand_ok
+
+        k_next, sub0 = jax.random.split(k_rot)
+        rot0, ok0 = draw(sub0)
+        _, rot, _ = jax.lax.while_loop(
+            lambda c: ~jnp.all(c[2]), body, (k_next, rot0, ok0)
+        )
 
         trans = jnp.einsum("bij,j->bi", rot, cvec)
         mat = assemble_rot_trans(rot, trans)

@@ -111,15 +111,19 @@ def get_log_dir(args) -> str:
     return os.path.join("logs", tag)
 
 
-def get_cfg(args) -> Dict:
-    """Assemble, resolve, and freeze the training config (tu/train/setup.py:53-90)."""
+def get_cfg(args, freeze: bool = True) -> Dict:
+    """Assemble, resolve, and freeze the training config (tu/train/setup.py:53-90).
+
+    ``freeze=False`` resolves the same config without touching the
+    filesystem (no log-dir collision check, no cfg.json dump) — used by
+    bench.py so the benched program is provably the trained program."""
     cfg_path = args.config if os.path.exists(args.config) else f"configs/{args.config}.yaml"
     cfg = load_cfg_from_path(cfg_path)
     cfg = load_cfg_from_dict(cfg, os.path.dirname(cfg_path))
     overwrite_cfg(cfg, "dataset", args.dataset)
 
     log_dir = get_log_dir(args)
-    if os.path.exists(log_dir) and not args.overwrite:
+    if freeze and os.path.exists(log_dir) and not args.overwrite:
         logger.error("%s exists (pass -o to overwrite)", log_dir)
         sys.exit(1)
     overwrite_cfg(cfg, "log_dir", log_dir, check_exists=False)
@@ -134,12 +138,36 @@ def get_cfg(args) -> Dict:
     cfg["runtime"]["slurm_job_id"] = os.environ.get("SLURM_JOB_ID", "local")
     cfg["runtime"]["slurm_job_name"] = os.environ.get("SLURM_JOB_NAME", "local")
 
-    os.makedirs(log_dir, exist_ok=True)
-    with open(os.path.join(log_dir, "args.json"), "w") as f:
-        json.dump(vars(args), f, sort_keys=True, indent=4)
-    with open(os.path.join(log_dir, "cfg.json"), "w") as f:
-        json.dump(cfg, f, sort_keys=True, indent=4, default=str)
+    if freeze:
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, "args.json"), "w") as f:
+            json.dump(vars(args), f, sort_keys=True, indent=4)
+        with open(os.path.join(log_dir, "cfg.json"), "w") as f:
+            json.dump(cfg, f, sort_keys=True, indent=4, default=str)
     return cfg
+
+
+def build_modules(cfg: Dict, seed: int) -> Dict:
+    """Construct the three players + param trees + optimizers from a resolved
+    config (the get_model closures, reference scripts/train.py:149-179)."""
+    import jax
+
+    from ..trainers.optim import build_optimizer
+    from .tree import count_params
+
+    key = jax.random.PRNGKey(seed)
+    modules: Dict = {}
+    for i, name in enumerate(["generator", "discriminator", "mask_discriminator"]):
+        model = build_from_config(cfg["model"][name])
+        params = model.init(jax.random.fold_in(key, i))
+        tx = build_optimizer(
+            cfg["training"][f"opt_{name}"], cfg["training"].get(f"sch_{name}")
+        )
+        modules[name] = model
+        modules[f"params_{name}"] = params
+        modules[f"opt_{name}"] = tx
+        logger.info("%s params: %d", name, count_params(params))
+    return modules
 
 
 def set_seed(seed: int) -> None:

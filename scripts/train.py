@@ -32,12 +32,14 @@ if os.environ.get("OI_GLOBAL_PRECISION"):
     jax.config.update("jax_default_matmul_precision", os.environ["OI_GLOBAL_PRECISION"])
 
 import object_intrinsics_tpu  # noqa: F401  (registry)
-from object_intrinsics_tpu.trainers.optim import build_optimizer
-from object_intrinsics_tpu.utils.checkpoint import load_pytree
 from object_intrinsics_tpu.utils.config import build_from_config, check_cfg_consistency
 from object_intrinsics_tpu.utils.logging import ScalarWriter, init_logger
-from object_intrinsics_tpu.utils.train_setup import get_cfg, get_parser, set_seed
-from object_intrinsics_tpu.utils.tree import count_params
+from object_intrinsics_tpu.utils.train_setup import (
+    build_modules,
+    get_cfg,
+    get_parser,
+    set_seed,
+)
 
 logger = logging.getLogger("train")
 
@@ -68,18 +70,7 @@ def main():
     train_loader = dataset.batches(global_bs, seed=args.seed)
 
     # -------------------------------------------------------------- models
-    key = jax.random.PRNGKey(args.seed)
-    modules = {}
-    for i, name in enumerate(["generator", "discriminator", "mask_discriminator"]):
-        model = build_from_config(cfg["model"][name])
-        params = model.init(jax.random.fold_in(key, i))
-        tx = build_optimizer(
-            cfg["training"][f"opt_{name}"], cfg["training"].get(f"sch_{name}")
-        )
-        modules[name] = model
-        modules[f"params_{name}"] = params
-        modules[f"opt_{name}"] = tx
-        logger.info("%s params: %d", name, count_params(params))
+    modules = build_modules(cfg, args.seed)
 
     writer = ScalarWriter(cfg["log_dir"]) if jax.process_index() == 0 else None
 

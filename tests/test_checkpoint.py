@@ -43,3 +43,22 @@ def test_restore_like_optax_state(tmp_path):
         __import__("jax").tree.leaves(state), __import__("jax").tree.leaves(restored)
     ):
         assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_restore_like_rejects_shape_mismatch():
+    """Loading a checkpoint from a different architecture must fail loudly,
+    not silently reshape (VERDICT r1)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from object_intrinsics_tpu.utils.checkpoint import restore_like
+
+    template = {"w": jnp.zeros((4, 4)), "b": jnp.zeros((4,))}
+    ok = restore_like(template, {"w": np.ones((4, 4)), "b": np.ones((4,))})
+    assert ok["w"].shape == (4, 4)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        restore_like(template, {"w": np.ones((2, 8)), "b": np.ones((4,))})
+    # scalars stored as size-1 arrays are the tolerated case
+    t2 = {"it": jnp.zeros(())}
+    out = restore_like(t2, {"it": np.ones((1,))})
+    assert out["it"].shape == ()

@@ -87,3 +87,22 @@ def test_pose_to_vec_repr_matches(ref_samplers):
     ref_repr = ref_samplers.BasePose.pose_to_vec_repr(torch.tensor(ref_poses)).numpy()
     ours = np.asarray(BasePose.pose_to_vec_repr(jnp.asarray(ref_poses)))
     assert np.allclose(ours, ref_repr, atol=1e-6)
+
+
+def test_sphere_sampler_bs1_never_leaks_rejects(ref_samplers):
+    """The while_loop rejection sampler must satisfy the view-cone constraint
+    on EVERY draw at bs=1 (a fixed 16x oversample leaks a rejected rotation
+    with probability 0.75^16 ~ 1% per step; reference rejection loop:
+    src/utils/pose_sampler.py:120-137 never returns rejects)."""
+    from object_intrinsics_tpu.utils.pose_sampler import Sphere
+
+    sampler = Sphere()
+    keys = jax.random.split(jax.random.PRNGKey(42), 3000)
+    draws = jax.vmap(lambda k: sampler(k, 1)[0])(keys)  # (3000, 4, 4)
+    v = np.asarray(draws)[:, :3, :3] @ np.array([0, 0, 1.0])
+    assert (v[:, 2] < 0).all(), (v[:, 2].max(), "rejected pose leaked")
+    assert (v[:, 1] > -0.7).all() and (v[:, 1] < 0.3).all()
+    # aggregated bs=1 draws must still match the reference distribution
+    np.random.seed(2)
+    ref = ref_samplers.Sphere()(3000)
+    _close(_stats(np.asarray(draws)), _stats(ref), atol=0.08)

@@ -89,3 +89,21 @@ def test_resumed_step_matches(tmp_path):
         assert np.allclose(a, b, atol=1e-6)
     for k in s1:
         assert np.allclose(np.asarray(s1[k]), np.asarray(s2[k]), atol=1e-5), k
+
+
+def test_state_hash_is_bitwise_sensitive():
+    """The cross-chip consistency fingerprint must not admit float
+    cancellation: two states whose errors cancel in a sum hash differently."""
+    import jax.numpy as jnp
+
+    from object_intrinsics_tpu.parallel.mesh import state_hash
+
+    a = {"p": jnp.asarray([1.0, -1.0, 2.0]), "it": jnp.asarray(3, jnp.int32)}
+    # same float sum (errors cancel), different bits
+    b = {"p": jnp.asarray([1.5, -1.5, 2.0]), "it": jnp.asarray(3, jnp.int32)}
+    assert np.array_equal(np.asarray(state_hash(a)), np.asarray(state_hash(a)))
+    assert not np.array_equal(np.asarray(state_hash(a)), np.asarray(state_hash(b)))
+    # single-bit flip is detected
+    c = {"p": jnp.asarray([1.0, -1.0, np.nextafter(np.float32(2.0), np.float32(3.0))]),
+         "it": jnp.asarray(3, jnp.int32)}
+    assert not np.array_equal(np.asarray(state_hash(a)), np.asarray(state_hash(c)))
