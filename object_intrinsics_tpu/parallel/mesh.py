@@ -111,7 +111,11 @@ def consistency_check(state, mesh: Mesh) -> bool:
         return jax.lax.all_gather(state_hash(s), DATA_AXIS)
 
     fn = shard_map(fingerprint, mesh, in_specs=(P(),), out_specs=P(DATA_AXIS))
-    hashes = np.asarray(jax.jit(fn)(state))
+    out = jax.jit(fn)(state)
+    # multi-process: only local shards are fetchable, but each local shard
+    # already holds EVERY chip's hash (the in-program all_gather), so the
+    # all-equal check still covers the whole mesh from any process.
+    hashes = np.concatenate([np.asarray(s.data) for s in out.addressable_shards], axis=0)
     ok = bool(np.all(hashes == hashes[0]))
     if not ok:  # pragma: no cover
         logger.error("replicated state diverged across chips: %s", hashes)

@@ -315,9 +315,26 @@ class Trainer:
     # ----------------------------------------------------------- public API
 
     def train_step(self, batch: Dict[str, np.ndarray], key: jax.Array) -> Dict[str, jnp.ndarray]:
-        bs = batch["image"].shape[0]
+        batch = {"image": batch["image"], "mask": batch["mask"]}
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-controller SPMD: every process feeds its local slice of
+            # the global batch; state is replicated across the global mesh
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec
+
+            from ..parallel.distributed import host_local_to_global
+
+            batch_dev = host_local_to_global(self.mesh, batch)
+            if not getattr(self, "_state_globalized", False):
+                self.state = multihost_utils.host_local_array_to_global_array(
+                    self.state, self.mesh, PartitionSpec()
+                )
+                self._state_globalized = True
+            bs = batch_dev["image"].shape[0]
+        else:
+            batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            bs = batch_dev["image"].shape[0]
         step_fn = self._get_step_fn(bs)
-        batch_dev = {"image": jnp.asarray(batch["image"]), "mask": jnp.asarray(batch["mask"])}
         self.state, stats = step_fn(self.state, batch_dev, key)
         self._it_host += 1
         return stats

@@ -40,7 +40,16 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("-c", "--config", type=str, default="train", help="config name or path")
     parser.add_argument("--log-unique", action="store_true", help="append timestamp to log dir")
     parser.add_argument("--mesh", type=int, default=0,
-                        help="data-parallel over N devices (0 = single device)")
+                        help="data-parallel over N devices (0 = single device, -1 = all)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="join a multi-process run via jax.distributed.initialize "
+                             "(the torchrun/NCCL setup_ddp analog); implies --mesh -1")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator host:port (default: JAX_COORDINATOR_ADDRESS / auto)")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="total process count (default: JAX_NUM_PROCESSES / auto)")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="this process's rank (default: JAX_PROCESS_ID / auto)")
     parser.add_argument("--profile", type=str, default=None,
                         help="capture a jax.profiler trace of train steps 10-15 into this dir")
     parser.add_argument("opts", nargs=argparse.REMAINDER)

@@ -50,7 +50,17 @@ def main():
     args = parser.parse_args()
     set_seed(args.seed)
 
-    cfg = get_cfg(args)
+    if args.multihost:
+        # the torchrun + NCCL init_process_group analog (reference
+        # scripts/train.py:50-56): after this, jax.devices() spans all hosts
+        # and one shard_map program runs over ICI+DCN.
+        from object_intrinsics_tpu.parallel.distributed import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
+        if not args.mesh:
+            args.mesh = -1
+
+    cfg = get_cfg(args, freeze=jax.process_index() == 0)
     logger.info("log_dir: %s", cfg["log_dir"])
     if args.profile:
         os.environ["OI_PROFILE_DIR"] = args.profile
@@ -67,7 +77,11 @@ def main():
     dataset = build_from_config(cfg["data"])
     n_chips = 1 if mesh is None else mesh.size
     global_bs = cfg["training"]["batch_size"] * n_chips
-    train_loader = dataset.batches(global_bs, seed=args.seed)
+    # each process loads only its slice of the global batch (the
+    # DistributedSampler analog; per-rank seed like the reference's
+    # set_seed_benchmark(seed + rank), scripts/train.py:136 there)
+    local_bs = global_bs // jax.process_count()
+    train_loader = dataset.batches(local_bs, seed=args.seed + jax.process_index())
 
     # -------------------------------------------------------------- models
     modules = build_modules(cfg, args.seed)
