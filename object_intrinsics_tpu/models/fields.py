@@ -96,6 +96,32 @@ def shape_sdf_grad(params: Params, pts: jnp.ndarray, w: jnp.ndarray):
     return sdf, grads, feat
 
 
+def shape_sdf_grad_hessian(params: Params, pts: jnp.ndarray, w: jnp.ndarray,
+                           laplacian: bool = False):
+    """SDF, gradient, features, and the per-point spatial Hessian
+    (bs, n, 3, 3) — or its diagonal with ``laplacian=True``.
+
+    The reference implements this with a per-column autograd loop
+    (src/models/fields.py:104-146, ``second_order``/``laplacian``), feeding a
+    divergence regularizer that is dead under the shipped configs
+    (neus/renderer.py:314 is ``if False``). Here it is forward-over-reverse:
+    three jvps of the exact point-gradient, differentiable w.r.t. params."""
+
+    def grad_fn(p):
+        return shape_sdf_grad(params, p, w)[1]
+
+    sdf, grads, feat = shape_sdf_grad(params, pts, w)
+    cols = []
+    for i in range(3):
+        e = jnp.zeros_like(pts).at[..., i].set(1.0)
+        _, col = jax.jvp(grad_fn, (pts,), (e,))
+        cols.append(col)
+    hess = jnp.stack(cols, axis=-1)  # (bs, n, 3, 3); cols[i] = dgrad/dp_i
+    if laplacian:
+        return sdf, grads, feat, jnp.diagonal(hess, axis1=-2, axis2=-1)
+    return sdf, grads, feat, hess
+
+
 
 # --------------------------------------------------------------------------
 # Color network: one FiLM layer on [features, normals] + linear RGB head

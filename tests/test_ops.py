@@ -197,3 +197,37 @@ def test_sphere_init_checkpoint_semantics():
     _, grads, _ = fields.shape_sdf_grad(params, pts, w)
     gn = np.linalg.norm(np.asarray(grads), axis=-1)
     assert np.abs(gn - 1.0).mean() < 0.2
+
+
+def test_shape_hessian_matches_finite_differences():
+    """shape_sdf_grad_hessian (fwd-over-rev) vs central differences of the
+    analytic gradient; laplacian = Hessian diagonal. Reference analog:
+    src/models/fields.py:104-146 second_order/laplacian."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from object_intrinsics_tpu.models import fields
+
+    key = jax.random.PRNGKey(0)
+    p = fields.init_shape_network(key, D=3, W=32, style_dim=8)
+    pts = jax.random.normal(jax.random.fold_in(key, 1), (2, 5, 3)) * 0.4
+    w = jax.random.normal(jax.random.fold_in(key, 2), (2, 8))
+
+    sdf, grads, feat, hess = fields.shape_sdf_grad_hessian(p, pts, w)
+    assert hess.shape == (2, 5, 3, 3)
+    # Hessian symmetry
+    np.testing.assert_allclose(np.asarray(hess), np.asarray(hess).swapaxes(-1, -2),
+                               rtol=1e-4, atol=1e-4)
+    # central differences of the exact gradient
+    eps = 1e-3
+    for i in range(3):
+        e = jnp.zeros_like(pts).at[..., i].set(eps)
+        gp = fields.shape_sdf_grad(p, pts + e, w)[1]
+        gm = fields.shape_sdf_grad(p, pts - e, w)[1]
+        fd = (np.asarray(gp) - np.asarray(gm)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(hess[..., i]), fd, rtol=1e-2, atol=1e-3)
+    *_, diag = fields.shape_sdf_grad_hessian(p, pts, w, laplacian=True)
+    np.testing.assert_allclose(np.asarray(diag),
+                               np.diagonal(np.asarray(hess), axis1=-2, axis2=-1),
+                               rtol=1e-5, atol=1e-6)

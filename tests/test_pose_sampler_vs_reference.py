@@ -106,3 +106,29 @@ def test_sphere_sampler_bs1_never_leaks_rejects(ref_samplers):
     np.random.seed(2)
     ref = ref_samplers.Sphere()(3000)
     _close(_stats(np.asarray(draws)), _stats(ref), atol=0.08)
+
+
+@pytest.mark.parametrize("yaw_spec,roll_spec", [
+    ([[-60, -20], [30, 90]], 20),            # union-of-intervals yaw
+    ([[-180, -90], [90, 180]], [[0, 5], [15, 20]]),  # list yaw + list roll
+])
+def test_plane_sampler_list_specs_match(ref_samplers, yaw_spec, roll_spec):
+    """List-valued rot_degree_range_scale samples uniformly from a union of
+    degree intervals, reusing the SAME raw uniform for bin choice and offset
+    (reference quirk: pose_sampler.py:197-205, uniform_sample_from_set_of_range
+    :140-156). Quantiles of every rotation-matrix entry must match."""
+    from object_intrinsics_tpu.utils.pose_sampler import Plane
+
+    kw = dict(cam_loc=[0, -1, 0], rot_degree_range_scale=yaw_spec,
+              xy_range_scale=[6, 3.5], rot_roll_degree_range_scale=roll_spec)
+    np.random.seed(5)
+    ref = np.asarray(ref_samplers.Plane(**kw)(8192))
+    ours = np.asarray(Plane(**kw)(jax.random.PRNGKey(5), 8192))
+    _close(_stats(ours), _stats(ref), atol=0.1)
+    # per-entry quantile match of the rotation block (sensitive to the yaw
+    # marginal, unlike the mean/std summary)
+    for i in range(3):
+        for j in range(3):
+            a = np.sort(ours[:, i, j])
+            b = np.sort(ref[:, i, j])
+            assert np.abs(a - b).mean() < 0.03, (i, j, np.abs(a - b).mean())
