@@ -74,24 +74,38 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
 
 
 def save_pytree(path: str, tree: Any, meta: Optional[dict] = None) -> None:
-    """Atomic single-file save: <path> (.npz) + <path>.json sidecar."""
+    """Atomic single-file save: <path> (.npz or .oipk) + <path>.json sidecar.
+
+    The ``.oipk`` extension routes through the native checkpoint pack
+    (native/ckptpack.cpp): one vectored C write, mmap zero-copy reads —
+    the torch.save/C++-pickling analog. ``.npz`` stays the portable default."""
     flat = _flatten(jax.device_get(tree))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
-    os.close(fd)
-    try:
-        with open(tmp, "wb") as f:
-            np.savez(f, **flat)
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.remove(tmp)
+    if path.endswith(".oipk"):
+        from . import ckpt_native
+
+        ckpt_native.write_pack(path, flat, meta)  # atomic inside
+    else:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
+        os.close(fd)
+        try:
+            with open(tmp, "wb") as f:
+                np.savez(f, **flat)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     if meta is not None:
         with open(path + ".json", "w") as f:
             json.dump(meta, f, indent=2, default=str)
 
 
 def load_pytree(path: str) -> Tuple[Any, Optional[dict]]:
+    if path.endswith(".oipk"):
+        from . import ckpt_native
+
+        flat, meta_pack = ckpt_native.read_pack(path)
+        return _unflatten(flat), (meta_pack or None)
     with np.load(path, allow_pickle=False) as f:
         flat = {k: f[k] for k in f.files}
     meta = None
@@ -146,8 +160,10 @@ class CheckpointIO:
 
     def path(self, name: str) -> str:
         assert self.checkpoint_dir is not None
-        if not name.endswith(".npz"):
-            name = name + ".npz"
+        if not (name.endswith(".npz") or name.endswith(".oipk")):
+            # OI_CKPT_FORMAT=oipk selects the native mmap pack
+            ext = ".oipk" if os.environ.get("OI_CKPT_FORMAT") == "oipk" else ".npz"
+            name = name + ext
         return os.path.join(self.checkpoint_dir, name)
 
     def save(self, name: str, state: Any, meta: Optional[dict] = None) -> str:
@@ -157,6 +173,12 @@ class CheckpointIO:
 
     def load(self, name_or_path: str) -> Tuple[Any, Optional[dict]]:
         p = name_or_path
-        if not os.path.exists(p) and self.checkpoint_dir:
-            p = self.path(name_or_path)
+        if not os.path.exists(p):
+            for cand in ([self.path(name_or_path)] if self.checkpoint_dir else []) + [
+                os.path.splitext(p)[0] + ".oipk",
+                os.path.splitext(p)[0] + ".npz",
+            ]:
+                if os.path.exists(cand):
+                    p = cand
+                    break
         return load_pytree(p)

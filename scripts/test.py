@@ -125,7 +125,9 @@ def main_fn(run_fn, get_data_iter_fn, default_log_dir):
             checkpoint_paths = [path]
         else:
             out_dir = path
-            checkpoint_paths = glob.glob(os.path.join(out_dir, "checkpoints", "model.npz"))
+            checkpoint_paths = glob.glob(
+                os.path.join(out_dir, "checkpoints", "model.npz")
+            ) or glob.glob(os.path.join(out_dir, "checkpoints", "model.oipk"))
         cfg_path = os.path.join(out_dir, "cfg.json")
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:

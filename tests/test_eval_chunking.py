@@ -97,7 +97,16 @@ def test_inference_cli_entry_uses_chunked_path(tmp_path, monkeypatch, caplog):
         json.dump(cfg, f)
 
     monkeypatch.setenv("DEBUG", "1")  # short walks
-    import scripts.test as cli
+    # load OUR CLI by path ("scripts" would collide with the reference repo's
+    # scripts/ once the parity tests put /root/reference on sys.path)
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "oi_scripts_test", os.path.join(repo, "scripts", "test.py")
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
 
     with caplog.at_level(logging.INFO):
         out_cfg, model = run(

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Assemble docs/RESULTS.md: side-by-side frame grids of our camera-walk
+renders vs the reference's shipped GIFs (assets/row000000_c0{0,1,2}.gif =
+appearance / normal / shading for data/example, reference README.md:49-58).
+
+Usage:
+    python tools/make_results.py --ours logs/test_view/local/<run> \
+        [--ours-ema logs/test_view/local/<run>_ema_99] [--ref /root/reference/assets]
+
+Extracts N frames evenly from each GIF and writes one comparison PNG per map
+type (ours on top, reference below) into docs/results/, plus RESULTS.md.
+"""
+import argparse
+import glob
+import os
+
+import numpy as np
+from PIL import Image
+
+MAPS = ["image", "normal", "shading"]  # column order of our gallery tables
+REF_GIFS = {"image": "row000000_c00.gif", "normal": "row000000_c01.gif",
+            "shading": "row000000_c02.gif"}
+
+
+def gif_frames(path, n):
+    im = Image.open(path)
+    total = getattr(im, "n_frames", 1)
+    idx = np.linspace(0, total - 1, n).astype(int)
+    out = []
+    for i in idx:
+        im.seek(int(i))
+        out.append(np.asarray(im.convert("RGB")))
+    return out
+
+
+def strip(frames):
+    return np.concatenate(frames, axis=1)
+
+
+def find_our_gif(our_dir, map_name):
+    """Our gallery writes asset_00001..3 as mp4 and 00004..6 as gif in MAPS
+    order (utils/test.py run)."""
+    k = MAPS.index(map_name)
+    cands = sorted(glob.glob(os.path.join(our_dir, "assets", "*.gif")))
+    if len(cands) >= len(MAPS):
+        return cands[k]
+    raise FileNotFoundError(f"no gif for {map_name} in {our_dir}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ours", required=True, help="our gallery dir (has assets/)")
+    ap.add_argument("--ours-ema", default=None, help="EMA-weights gallery dir")
+    ap.add_argument("--ref", default="/root/reference/assets")
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--out", default="docs/results")
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    rows_md = []
+    for m in MAPS:
+        ours = strip(gif_frames(find_our_gif(args.ours, m), args.frames))
+        ref = strip(gif_frames(os.path.join(args.ref, REF_GIFS[m]), args.frames))
+        if ref.shape[1] != ours.shape[1]:
+            scale = ours.shape[1] / ref.shape[1]
+            ref = np.asarray(Image.fromarray(ref).resize(
+                (ours.shape[1], int(ref.shape[0] * scale)), Image.LANCZOS))
+        panels = [ours, ref]
+        labels = ["ours (TPU rebuild)", "reference (shipped GIF)"]
+        if args.ours_ema:
+            panels.insert(1, strip(gif_frames(find_our_gif(args.ours_ema, m), args.frames)))
+            labels.insert(1, "ours, EMA 0.99 weights")
+        img = np.concatenate(panels, axis=0)
+        out_png = os.path.join(args.out, f"compare_{m}.png")
+        Image.fromarray(img.astype(np.uint8)).save(out_png)
+        rows_md.append((m, out_png, labels))
+        print("wrote", out_png)
+
+    md = [
+        "# Results — flagship configuration (data/example, 100k iterations)",
+        "",
+        "Rendered with the published-result settings of the reference "
+        "(README.md:49 there): 100k training iterations, then "
+        "`scripts/test.py -depth 16` (256+64 samples/ray) camera-walk GIFs.",
+        "",
+    ]
+    for m, png, labels in rows_md:
+        rel = os.path.relpath(png, "docs")
+        md += [f"## {m}", "",
+               f"Rows, top to bottom: {'; '.join(labels)}.", "",
+               f"![{m}]({rel})", ""]
+    md += [
+        "Frames are sampled evenly from each 128-frame camera walk. Pose",
+        "conventions match; the walks start at each run's own canonical pose,",
+        "and the learned object identity differs per training run (GAN), so",
+        "the comparison is qualitative: object structure, lighting",
+        "decomposition, normal quality, silhouette cleanliness.",
+        "",
+    ]
+    with open("docs/RESULTS.md", "w") as f:
+        f.write("\n".join(md))
+    print("wrote docs/RESULTS.md")
+
+
+if __name__ == "__main__":
+    main()
