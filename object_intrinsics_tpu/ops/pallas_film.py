@@ -34,6 +34,29 @@ W = 128  # trunk width (static for the kernel)
 TILE = 256  # points per grid step (keeps the 8-layer cos(arg) scratch in VMEM)
 
 
+def _fast_sincos(u, want_cos: bool):
+    """In-kernel polynomial sine (and its exact-derivative cosine): the same
+    Cody-Waite + degree-11 odd minimax construction as film_siren.fast_sin
+    (|sin err| < 8e-7, |cos err| < 9e-6 over SIREN's phase range). Pure VPU
+    mul/add — Mosaic lowers transcendental `sin`/`cos` far slower."""
+    from .film_siren import _CW1, _CW2, _INV_2PI, _SIN_COEF
+
+    k = jnp.round(u * _INV_2PI)
+    r = (u - k * _CW1) - k * _CW2
+    r2 = r * r
+    p = jnp.full_like(u, _SIN_COEF[-1])
+    for c in _SIN_COEF[-2::-1]:
+        p = p * r2 + c
+    sin = r * p
+    if not want_cos:
+        return sin, None
+    pp = jnp.full_like(u, 5.0 * _SIN_COEF[5])
+    for i in (4, 3, 2, 1):
+        pp = pp * r2 + i * _SIN_COEF[i]
+    cos = p + 2.0 * r2 * pp  # d/dr [r * p(r^2)]
+    return sin, cos
+
+
 def _dot3x(x, w_hi, w_lo):
     """bf16_3x matmul: split both operands to bf16 and accumulate in fp32."""
     x_hi = x.astype(jnp.bfloat16)
@@ -62,9 +85,10 @@ def _trunk_kernel(
     x = pts_ref[:]
     for i in range(depth):
         arg = _dot3x(x, whi_ref[i], wlo_ref[i]) + bf_ref[i][None, :]
+        s, c = _fast_sincos(arg, want_cos=with_grad)
         if with_grad:
-            cos_ref[i] = jnp.cos(arg)
-        x = jnp.sin(arg)
+            cos_ref[i] = c
+        x = s
     feat_ref[:] = x
     sdf = jnp.dot(x, ws_ref[:], preferred_element_type=jnp.float32) + bs_ref[0, 0]
     sdf_ref[:] = sdf
