@@ -127,53 +127,76 @@ def chunked_eval_render(
     n_chunks = -(-R // chunk)
     pad = n_chunks * chunk - R
 
-    # scene setup is tiny: run it eagerly once, shared by every tile
-    prior_info = gen.sample_prior(params, key, bs, data)
-    latent_info = gen.sample_latent(params, key, bs, data)
-    if "w" not in latent_info:
-        from ..models import fields
+    setup_fn, tile_exec = _chunk_executables(gen, bs, R, pad, chunk, mesh, n_dev)
 
-        latent_info = dict(latent_info)
-        latent_info["w"] = fields.shape_style(params["sdf_network"], latent_info["z"])
-    rays_info = gen.gen_rays_at(data, prior_info)
-    rays_o = rays_info["rays_o"].reshape(bs, R, 3)
-    rays_d = rays_info["rays_d"].reshape(bs, R, 3)
-    if pad:
-        rays_o = jnp.concatenate([rays_o, rays_o[:, :pad]], axis=1)
-        rays_d = jnp.concatenate([rays_d, rays_d[:, :pad]], axis=1)
-    if "bg_color" in data:
-        bg = jnp.asarray(data["bg_color"], dtype=jnp.float32)
-    else:
-        bg = jnp.ones((bs, 3), dtype=jnp.float32)
+    rays_o, rays_d, latent_info, prior_info, bg = setup_fn(params, dict(data), key)
+    out = []
+    for c in range(n_chunks):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        out.append(
+            tile_exec(params, rays_o[:, sl], rays_d[:, sl], latent_info, prior_info, bg, it_arr)
+        )
+    maps = {k: jnp.concatenate([o[k] for o in out], axis=1)[:, :R] for k in out[0]}
+    return {k: v.reshape(bs, res, res, v.shape[-1]) for k, v in maps.items()}
 
-    def tile_fn(params, ro, rd, latent_info, prior_info, bg):
+
+# cached compiled executables per generator: re-creating the jitted closures
+# per frame would retrace/recompile every frame of a walk
+_CHUNK_EXEC_CACHE: Dict[int, Dict] = {}
+
+
+def _chunk_executables(gen, bs: int, R: int, pad: int, chunk: int, mesh, n_dev: int):
+    cache = _CHUNK_EXEC_CACHE.setdefault(id(gen), {})
+    mesh_key = None if mesh is None else (tuple(d.id for d in mesh.devices.flat),)
+    key = (bs, R, pad, chunk, mesh_key)
+    if key in cache:
+        return cache[key]
+
+    def setup(params, data, rng):
+        """Scene setup shared by every tile: pose, style, rays (+pad), bg."""
+        prior_info = gen.sample_prior(params, rng, bs, data)
+        latent_info = gen.sample_latent(params, rng, bs, data)
+        if "w" not in latent_info:
+            from ..models import fields
+
+            latent_info = dict(latent_info)
+            latent_info["w"] = fields.shape_style(params["sdf_network"], latent_info["z"])
+        rays_info = gen.gen_rays_at(data, prior_info)
+        rays_o = rays_info["rays_o"].reshape(bs, R, 3)
+        rays_d = rays_info["rays_d"].reshape(bs, R, 3)
+        if pad:
+            rays_o = jnp.concatenate([rays_o, rays_o[:, :pad]], axis=1)
+            rays_d = jnp.concatenate([rays_d, rays_d[:, :pad]], axis=1)
+        if "bg_color" in data:
+            bg = jnp.asarray(data["bg_color"], dtype=jnp.float32)
+        else:
+            bg = jnp.ones((bs, 3), dtype=jnp.float32)
+        return rays_o, rays_d, latent_info, prior_info, bg
+
+    def tile_fn(params, ro, rd, latent_info, prior_info, bg, it_arr):
         return _render_ray_slice(gen, params, ro, rd, latent_info, prior_info, bg, it_arr)
 
     if mesh is not None:
         per_dev = chunk // n_dev
 
-        def tile_sharded(params, ro, rd, latent_info, prior_info, bg):
+        def tile_sharded(params, ro, rd, latent_info, prior_info, bg, it_arr):
             idx = jax.lax.axis_index(DATA_AXIS)
             ro = jax.lax.dynamic_slice_in_dim(ro, idx * per_dev, per_dev, axis=1)
             rd = jax.lax.dynamic_slice_in_dim(rd, idx * per_dev, per_dev, axis=1)
-            return tile_fn(params, ro, rd, latent_info, prior_info, bg)
+            return tile_fn(params, ro, rd, latent_info, prior_info, bg, it_arr)
 
-        fn = jax.jit(
+        tile_exec = jax.jit(
             shard_map(
                 tile_sharded, mesh,
-                in_specs=(P(), P(), P(), P(), P(), P()),
+                in_specs=(P(), P(), P(), P(), P(), P(), P()),
                 out_specs=P(None, DATA_AXIS),
             )
         )
     else:
-        fn = jax.jit(tile_fn)
+        tile_exec = jax.jit(tile_fn)
 
-    out = []
-    for c in range(n_chunks):
-        sl = slice(c * chunk, (c + 1) * chunk)
-        out.append(fn(params, rays_o[:, sl], rays_d[:, sl], latent_info, prior_info, bg))
-    maps = {k: jnp.concatenate([o[k] for o in out], axis=1)[:, :R] for k in out[0]}
-    return {k: v.reshape(bs, res, res, v.shape[-1]) for k, v in maps.items()}
+    cache[key] = (jax.jit(setup), tile_exec)
+    return cache[key]
 
 
 def _composite_rays(gen, params, bg_color, render_out, rays_o, prior_info):
