@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--dataset", default="/root/reference/data/example")
     ap.add_argument("--share-fake-render", action="store_true",
                     help="one no-grad render feeds both D steps (non-parity perf option)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="bench data-parallel over N devices (0 = single device, -1 = all); "
+                         "per-chip bs stays --bs, global batch scales with the mesh")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +52,13 @@ def main():
     train_args = get_parser().parse_args(["-d", args.dataset, "-o", "-t", "bench"])
     cfg = get_cfg(train_args, freeze=False)
     modules = build_modules(cfg, seed=0)
-    trainer = build_from_config(cfg["trainer"], modules=modules, writer=None, mesh=None)
+    mesh = None
+    if args.mesh:
+        from object_intrinsics_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh if args.mesh > 0 else -1)
+        args.bs = args.bs * mesh.size  # global batch over the mesh
+    trainer = build_from_config(cfg["trainer"], modules=modules, writer=None, mesh=mesh)
     trainer.share_fake_render = args.share_fake_render
 
     # Real data when present; synthetic otherwise.

@@ -127,3 +127,35 @@ def test_inference_cli_entry_uses_chunked_path(tmp_path, monkeypatch, caplog):
     assert (tmp_path / "html" / "index.html").exists()
     assets = list((tmp_path / "html" / "assets").iterdir())
     assert len(assets) >= 6  # image/normal/shading x mp4+gif
+
+
+def test_depth16_sample_counts_render():
+    """-depth 16 multiplies samples/ray to 256+64 at test time
+    (reference scripts/test.py:267,278-279). Smoke the renderer at the
+    multiplied sample counts (tiny ray grid): static-shape importance
+    sampling must survive n_importance >> n_samples regimes and stay finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_intrinsics_tpu.ops.renderer import RendererConfig
+    from object_intrinsics_tpu.utils.test import update_config
+
+    gen = build_from_config(_generator_cfg(resolution=8, n_samples=16, n_importance=4))
+    gen.rcfg = RendererConfig(n_samples=256, n_importance=64, n_outside=0,
+                              up_sample_steps=1, perturb=1)
+    params = gen.init(jax.random.PRNGKey(0))
+    data = {"b2w": jnp.eye(4)[None], "z": jnp.zeros((1, gen.z_dim)),
+            "bg_color": jnp.ones((1, 3))}
+    out = gen.forward(params, jax.random.PRNGKey(1), 1, jnp.asarray(0), data,
+                      train=False, return_raw=True)["box"]["render_out"]
+    assert out["image"].shape == (1, 8, 8, 3)
+    assert np.isfinite(np.asarray(out["image"])).all()
+    assert np.isfinite(np.asarray(out["normal_map"])).all()
+
+    # and the update_config arithmetic that produces those counts
+    cfg = {"resolution": 128, "model": {"generator": {"kwargs": {
+        "resolution": 128,
+        "renderer": {"kwargs": {"n_samples": 16, "n_importance": 4}}}}}}
+    update_config(cfg, depth_multiplier=16)
+    rk = cfg["model"]["generator"]["kwargs"]["renderer"]["kwargs"]
+    assert (rk["n_samples"], rk["n_importance"]) == (256, 64)
