@@ -341,6 +341,15 @@ class Trainer:
 
     # -------------------------------------------------------- visualization
 
+    def _local_state(self, tree):
+        """Host-local copy of replicated state for rank-0-only work
+        (visualization): fully-replicated global arrays are fetchable, and
+        the local jit then runs on this process's devices only instead of
+        requiring an SPMD call every process would have to join."""
+        if self.mesh is None or jax.process_count() == 1:
+            return tree
+        return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
+
     def visualize(self, batch: Dict[str, np.ndarray], key: jax.Array) -> None:
         if self.vis_dir is None:
             return
@@ -353,7 +362,9 @@ class Trainer:
                 )["box"]["render_out"]
             )
         k_fwd, k_aug = jax.random.split(key)
-        out = self._vis_fn_cache[bs](self.state["params"]["generator"], k_fwd, self.state["it"])
+        g_params_local = self._local_state(self.state["params"]["generator"])
+        it_local = self._local_state(self.state["it"])
+        out = self._vis_fn_cache[bs](g_params_local, k_fwd, it_local)
         maps = {k: np.asarray(v) for k, v in out.items()}
         it = self.it
         d = os.path.join(self.vis_dir, f"it_{it:08d}")
@@ -369,11 +380,12 @@ class Trainer:
             z = normalize_batched_tensor(maps["z_map"], xmin=maps["z_min"][:, None, None, None])
             save_image_grid(os.path.join(d, "fake_z.png"), z)
         light = np.asarray(
-            self.light_sphere.render(self.state["params"]["generator"]["light"])["shading_map"]
+            self.light_sphere.render(g_params_local["light"])["shading_map"]
         )
         save_image_grid(os.path.join(d, "light.png"), light[None])
         aug = self.discriminator.augment_only(
-            self.state["params"]["discriminator"], jnp.asarray(batch["image"]), k_aug
+            self._local_state(self.state["params"]["discriminator"]),
+            jnp.asarray(batch["image"]), k_aug,
         )
         save_image_grid(os.path.join(d, "image_aug.png"), np.asarray(aug))
         save_image_grid(os.path.join(d, "real_image.png"), batch["image"])
@@ -398,6 +410,7 @@ class Trainer:
     def load_checkpoint(self, path: str, strict: bool = False) -> Dict:
         loaded, meta = self.checkpoint_io.load(path)
         self.state = restore_like(self.state, loaded)
+        self._state_globalized = False  # re-globalize on next multi-process step
         self._it_host = int(np.asarray(self.state["it"]))
         logger.info("resumed from %s at it=%d", path, self.it)
         return meta or {"epoch": -1, "it": self.it}
