@@ -20,7 +20,9 @@ def _optional(name: str) -> None:
     try:
         importlib.import_module(name, package=__package__)
     except ModuleNotFoundError as e:
-        if e.name != full:
+        # tolerated: the module itself or one of its parent packages is
+        # absent (partial checkout); anything else is a real bug
+        if e.name != full and not (e.name and full.startswith(e.name + ".")):
             raise
 
 

@@ -107,15 +107,14 @@ def shape_sdf_grad_hessian(params: Params, pts: jnp.ndarray, w: jnp.ndarray,
     (neus/renderer.py:314 is ``if False``). Here it is forward-over-reverse:
     three jvps of the exact point-gradient, differentiable w.r.t. params."""
 
-    def grad_fn(p):
-        return shape_sdf_grad(params, p, w)[1]
+    def grad_with_aux(p):
+        sdf, grads, feat = shape_sdf_grad(params, p, w)
+        return grads, (sdf, feat)
 
-    sdf, grads, feat = shape_sdf_grad(params, pts, w)
-    cols = []
-    for i in range(3):
-        e = jnp.zeros_like(pts).at[..., i].set(1.0)
-        _, col = jax.jvp(grad_fn, (pts,), (e,))
-        cols.append(col)
+    # linearize evaluates the network once; the three tangent pushes reuse
+    # the stored linearization instead of re-running the primal per axis
+    grads, f_jvp, (sdf, feat) = jax.linearize(grad_with_aux, pts, has_aux=True)
+    cols = [f_jvp(jnp.zeros_like(pts).at[..., i].set(1.0)) for i in range(3)]
     hess = jnp.stack(cols, axis=-1)  # (bs, n, 3, 3); cols[i] = dgrad/dp_i
     if laplacian:
         return sdf, grads, feat, jnp.diagonal(hess, axis1=-2, axis2=-1)

@@ -140,13 +140,11 @@ def chunked_eval_render(
     return {k: v.reshape(bs, res, res, v.shape[-1]) for k, v in maps.items()}
 
 
-# cached compiled executables per generator: re-creating the jitted closures
-# per frame would retrace/recompile every frame of a walk
-_CHUNK_EXEC_CACHE: Dict[int, Dict] = {}
-
-
 def _chunk_executables(gen, bs: int, R: int, pad: int, chunk: int, mesh, n_dev: int):
-    cache = _CHUNK_EXEC_CACHE.setdefault(id(gen), {})
+    # compiled executables cached ON the generator (re-creating the jitted
+    # closures per frame would retrace every frame of a walk; a module-level
+    # cache would pin generators + executables for the process lifetime)
+    cache = gen.__dict__.setdefault("_chunk_exec_cache", {})
     mesh_key = None if mesh is None else (tuple(d.id for d in mesh.devices.flat),)
     key = (bs, R, pad, chunk, mesh_key)
     if key in cache:

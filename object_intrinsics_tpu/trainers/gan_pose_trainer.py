@@ -460,12 +460,28 @@ def train_loops(
 
     debug = os.environ.get("DEBUG") == "1"
 
+    try:
+        _train_loop_body(
+            trainer, train_loader, stop_requested, epoch, max_it, print_every,
+            visualize_every, checkpoint_every, checkpoint_overwrite, debug,
+            t0b, last_print_it, root_key,
+        )
+    finally:
+        # restore on EVERY exit path (signal, max_it, loader exhaustion,
+        # exception) — a leaked _on_term would swallow later Ctrl-Cs
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
+
+
+def _train_loop_body(
+    trainer, train_loader, stop_requested, epoch, max_it, print_every,
+    visualize_every, checkpoint_every, checkpoint_overwrite, debug,
+    t0b, last_print_it, root_key,
+):
     for batch in train_loader:
         if stop_requested["flag"]:
             trainer.save_checkpoint(overwrite=True, epoch=epoch)
             logger.info("checkpointed at it=%d after signal; exiting", trainer.it)
-            for sig, h in prev_handlers.items():
-                signal.signal(sig, h)
             return
         if max_it is not None and trainer.it > max_it:
             logger.info("reached max_it=%d", max_it)

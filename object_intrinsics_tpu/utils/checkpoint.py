@@ -147,6 +147,23 @@ def restore_like(template: Any, loaded: Any) -> Any:
     return jax.tree.unflatten(treedef, out)
 
 
+def resolve_checkpoint(path: str) -> str:
+    """Resolve a checkpoint path across the two on-disk formats: given
+    ``.../model`` / ``.../model.npz`` / ``.../model.oipk``, return the
+    NEWEST existing variant (a format switch mid-project must not silently
+    resume from the stale file)."""
+    base = path
+    for ext in (".npz", ".oipk"):
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+            break
+    cands = [base + ext for ext in (".npz", ".oipk")]
+    cands = [c for c in cands if os.path.exists(c)]
+    if not cands:
+        return path
+    return max(cands, key=os.path.getmtime)
+
+
 class CheckpointIO:
     """Directory-scoped checkpoint manager (src/utils/checkpoint.py:16-147).
 
@@ -172,13 +189,7 @@ class CheckpointIO:
         return p
 
     def load(self, name_or_path: str) -> Tuple[Any, Optional[dict]]:
-        p = name_or_path
-        if not os.path.exists(p):
-            for cand in ([self.path(name_or_path)] if self.checkpoint_dir else []) + [
-                os.path.splitext(p)[0] + ".oipk",
-                os.path.splitext(p)[0] + ".npz",
-            ]:
-                if os.path.exists(cand):
-                    p = cand
-                    break
+        p = resolve_checkpoint(name_or_path)
+        if not os.path.exists(p) and self.checkpoint_dir:
+            p = resolve_checkpoint(self.path(name_or_path))
         return load_pytree(p)

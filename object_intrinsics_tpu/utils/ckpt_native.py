@@ -78,7 +78,7 @@ def write_pack(path: str, flat: Dict[str, np.ndarray], meta: Optional[dict] = No
         index[k] = {"dtype": a.dtype.str, "shape": list(a.shape), "offset": off,
                     "nbytes": int(a.nbytes)}
         off += a.nbytes
-    header = json.dumps({"tensors": index, "meta": meta or {}}).encode()
+    header = json.dumps({"tensors": index, "meta": meta or {}}, default=str).encode()
     # pad the header so the payload base (magic 6 + u64 8 + header) is
     # 64-aligned — tensor offsets are then aligned absolutely, and mmap'd
     # views land on cache-line boundaries

@@ -50,11 +50,10 @@ def inference_setup(log_dir: str, test_resolution=None, depth_multiplier=None,
         path_to_checkpoint = log_dir
     else:
         path_to_cfg = log_dir / "cfg.json"
-        path_to_checkpoint = log_dir / "checkpoints" / "model.npz"
-        if not path_to_checkpoint.exists():
-            oipk = log_dir / "checkpoints" / "model.oipk"  # native-pack runs
-            if oipk.exists():
-                path_to_checkpoint = oipk
+        from .checkpoint import resolve_checkpoint
+
+        # newest of model.npz / model.oipk (native-pack runs)
+        path_to_checkpoint = Path(resolve_checkpoint(str(log_dir / "checkpoints" / "model.npz")))
 
     with open(path_to_cfg) as f:
         cfg = json.load(f)

@@ -132,7 +132,10 @@ def get_cfg(args, freeze: bool = True) -> Dict:
     overwrite_cfg(cfg, "dataset", args.dataset)
 
     log_dir = get_log_dir(args)
-    if freeze and os.path.exists(log_dir) and not args.overwrite:
+    # collision check runs on EVERY rank (freeze only gates the writes):
+    # exiting on rank 0 alone would leave the other ranks blocked in the
+    # first cross-mesh collective of the SPMD train step
+    if os.path.exists(log_dir) and not args.overwrite:
         logger.error("%s exists (pass -o to overwrite)", log_dir)
         sys.exit(1)
     overwrite_cfg(cfg, "log_dir", log_dir, check_exists=False)

@@ -125,9 +125,10 @@ def main_fn(run_fn, get_data_iter_fn, default_log_dir):
             checkpoint_paths = [path]
         else:
             out_dir = path
-            checkpoint_paths = glob.glob(
-                os.path.join(out_dir, "checkpoints", "model.npz")
-            ) or glob.glob(os.path.join(out_dir, "checkpoints", "model.oipk"))
+            from object_intrinsics_tpu.utils.checkpoint import resolve_checkpoint
+
+            cand = resolve_checkpoint(os.path.join(out_dir, "checkpoints", "model.npz"))
+            checkpoint_paths = [cand] if os.path.exists(cand) else []
         cfg_path = os.path.join(out_dir, "cfg.json")
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:

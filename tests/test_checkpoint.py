@@ -62,3 +62,34 @@ def test_restore_like_rejects_shape_mismatch():
     t2 = {"it": jnp.zeros(())}
     out = restore_like(t2, {"it": np.ones((1,))})
     assert out["it"].shape == ()
+
+
+def test_resolve_checkpoint_newest_wins(tmp_path):
+    """A format switch mid-project must resume from the NEWER file, whichever
+    extension it has."""
+    import os
+    import time
+
+    from object_intrinsics_tpu.utils.checkpoint import (
+        load_pytree,
+        resolve_checkpoint,
+        save_pytree,
+    )
+
+    base = str(tmp_path / "model")
+    save_pytree(base + ".npz", {"a": np.zeros(3)}, {"it": 10})
+    time.sleep(0.05)
+    try:
+        save_pytree(base + ".oipk", {"a": np.ones(3)}, {"it": 30, "np": np.int32(5)})
+    except AssertionError:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    assert resolve_checkpoint(base + ".npz").endswith(".oipk")
+    assert resolve_checkpoint(base).endswith(".oipk")
+    loaded, meta = load_pytree(resolve_checkpoint(base + ".npz"))
+    assert meta["it"] == 30  # numpy scalar meta serialized via default=str
+    np.testing.assert_array_equal(loaded["a"], np.ones(3))
+    # make npz newer again
+    os.utime(base + ".npz")
+    assert resolve_checkpoint(base + ".oipk").endswith(".npz")
