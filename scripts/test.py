@@ -143,9 +143,12 @@ def main_fn(run_fn, get_data_iter_fn, default_log_dir):
             html_basename = Path(checkpoint_path).stem
             if args.ema is not None:
                 html_basename += f"_ema_{str(args.ema).split('.')[-1]}"
-            html_dir = os.path.join(
-                default_log_dir, str(cfg["runtime"].get("slurm_job_id", "local")), html_basename
-            )
+            # the tag separates galleries for different render settings
+            # (-depth/-res) — the reference reuses one dir and overwrites
+            job = str(cfg["runtime"].get("slurm_job_id", "local"))
+            if args.tag and args.tag != "default":
+                job += f"_{args.tag}"
+            html_dir = os.path.join(default_log_dir, job, html_basename)
             run_fn(
                 log_dir=checkpoint_path,
                 get_data_iter_fn=get_data_iter_fn,
