@@ -3,7 +3,8 @@
 // The reference checkpoints through torch.save (C++ pickling under the
 // hood, src/utils/checkpoint.py:36-48). This is the TPU-framework analog:
 // a flat tensor pack with a JSON index, written atomically (tmp + fsync +
-// rename) with vectored tensor writes (no Python-side payload assembly),
+// rename) streaming tensors straight from their buffers (no Python-side
+// payload assembly),
 // and read back zero-copy via mmap. Exposed through a C ABI and loaded from
 // Python with ctypes (object_intrinsics_tpu/utils/ckpt_native.py); the
 // portable .npz path remains the default format.

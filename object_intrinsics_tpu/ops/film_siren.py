@@ -55,6 +55,25 @@ def _dot(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 FAST_SIN = __import__("os").environ.get("OI_FAST_SIN", "1") != "0"
 
+# Validity bound of the Cody-Waite reduction: k*CW1 stays exactly
+# representable while k < 2^15 (CW1 carries 9 mantissa bits), i.e. |u| up to
+# ~2e5; we declare 1e4 — an order of magnitude above any phase a trained
+# FiLM gamma (~30-45) times |x|<=sqrt(3) can produce — as the guarded
+# domain. tests/test_ops.py pins |err|<8e-7 (value), <9e-6 (grad),
+# <1.5e-4 (grad-of-grad) across it.
+PHASE_REDUCTION_MAX = 1.0e4
+_PHASE_CHECK = __import__("os").environ.get("DEBUG") == "1"
+
+
+def _phase_range_cb(max_abs) -> None:
+    if float(max_abs) > PHASE_REDUCTION_MAX:
+        raise FloatingPointError(
+            f"FiLM phase magnitude {float(max_abs):.3e} exceeds fast_sin's "
+            f"guarded reduction range ({PHASE_REDUCTION_MAX:.0e}). Either the "
+            "FiLM gammas blew up (check training health) or set OI_FAST_SIN=0 "
+            "to use exact jnp.sin."
+        )
+
 # minimax-grade fit of sin(r)/r in powers of r^2 on [-pi, pi] (max err 1.9e-7)
 _SIN_COEF = (
     0.9999999381599484,
@@ -187,7 +206,14 @@ def apply_film_siren(p: Params, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarr
     """x: (bs, n, in_dim), style: (bs, style_dim) -> (bs, n, out_dim)."""
     w_g, b_g = fold_film(p, style)
     h = jnp.einsum("bni,bio->bno", x, w_g, precision=MATMUL_PRECISION)
-    return fast_sin(h + b_g[:, None, :])
+    phase = h + b_g[:, None, :]
+    if _PHASE_CHECK and FAST_SIN:
+        # DEBUG=1: fail loudly if trained gammas push phases outside the
+        # polynomial's guarded reduction range (host callback, grad-safe).
+        jax.debug.callback(
+            _phase_range_cb, jax.lax.stop_gradient(jnp.max(jnp.abs(phase)))
+        )
+    return fast_sin(phase)
 
 
 # --------------------------------------------------------------------------

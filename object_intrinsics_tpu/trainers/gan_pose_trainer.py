@@ -430,12 +430,24 @@ def train_loops(
     max_it: Optional[int] = None,
     epoch: int = -1,
     seed: int = 0,
+    batches_per_epoch: Optional[int] = None,
 ):
     """Training loop (gan_pose_trainer.py:265-319): scalar logging every
     ``print_every``, visualization every ``visualize_every``, checkpoints
-    every ``checkpoint_every``, stop at ``max_it``. EMA updates are fused
-    into the jitted step."""
+    every ``checkpoint_every``, stop at ``max_it`` or ``max_epoch``. EMA
+    updates are fused into the jitted step.
+
+    Epoch semantics mirror the reference exactly (gan_pose_trainer.py:277-283):
+    the loop returns when the pre-increment epoch counter exceeds
+    ``max_epoch``, checked only at epoch boundaries — our loader is an
+    infinite stream, so boundaries are derived from ``batches_per_epoch``
+    (dataset_len // batch_size, drop_last)."""
     assert max_epoch is not None or max_it is not None, "infinite loop"
+    if max_epoch is not None and not batches_per_epoch:
+        raise ValueError(
+            "max_epoch requires batches_per_epoch (the loader is an infinite "
+            "stream; epoch boundaries must be derived from the dataset size)"
+        )
     root_key = jax.random.PRNGKey(seed)
     t0b = time.time()
     last_print_it = trainer.it
@@ -464,7 +476,7 @@ def train_loops(
         _train_loop_body(
             trainer, train_loader, stop_requested, epoch, max_it, print_every,
             visualize_every, checkpoint_every, checkpoint_overwrite, debug,
-            t0b, last_print_it, root_key,
+            t0b, last_print_it, root_key, max_epoch, batches_per_epoch,
         )
     finally:
         # restore on EVERY exit path (signal, max_it, loader exhaustion,
@@ -476,8 +488,9 @@ def train_loops(
 def _train_loop_body(
     trainer, train_loader, stop_requested, epoch, max_it, print_every,
     visualize_every, checkpoint_every, checkpoint_overwrite, debug,
-    t0b, last_print_it, root_key,
+    t0b, last_print_it, root_key, max_epoch=None, batches_per_epoch=None,
 ):
+    n_consumed = 0
     for batch in train_loader:
         if stop_requested["flag"]:
             trainer.save_checkpoint(overwrite=True, epoch=epoch)
@@ -487,6 +500,19 @@ def _train_loop_body(
             logger.info("reached max_it=%d", max_it)
             trainer.save_checkpoint(overwrite=True, epoch=epoch)
             return
+        if batches_per_epoch and n_consumed % batches_per_epoch == 0:
+            # epoch boundary: the reference checks `epoch > max_epoch` with
+            # the pre-increment value, then increments (reference
+            # gan_pose_trainer.py:277-283)
+            if max_epoch is not None and epoch > max_epoch:
+                logger.info(
+                    "final epoch=%d, it=%d, exceeding max_epoch=%d",
+                    epoch, trainer.it, max_epoch,
+                )
+                trainer.save_checkpoint(overwrite=True, epoch=epoch)
+                return
+            epoch += 1
+        n_consumed += 1
         profile_dir = os.environ.get("OI_PROFILE_DIR")
         if profile_dir and trainer.it + 1 == 10:
             jax.profiler.start_trace(profile_dir)

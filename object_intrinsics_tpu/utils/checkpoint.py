@@ -77,7 +77,8 @@ def save_pytree(path: str, tree: Any, meta: Optional[dict] = None) -> None:
     """Atomic single-file save: <path> (.npz or .oipk) + <path>.json sidecar.
 
     The ``.oipk`` extension routes through the native checkpoint pack
-    (native/ckptpack.cpp): one vectored C write, mmap zero-copy reads —
+    (native/ckptpack.cpp): a single C write pass (tmp+fsync+rename atomic),
+    mmap zero-copy reads —
     the torch.save/C++-pickling analog. ``.npz`` stays the portable default."""
     flat = _flatten(jax.device_get(tree))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -178,8 +179,23 @@ class CheckpointIO:
     def path(self, name: str) -> str:
         assert self.checkpoint_dir is not None
         if not (name.endswith(".npz") or name.endswith(".oipk")):
-            # OI_CKPT_FORMAT=oipk selects the native mmap pack
-            ext = ".oipk" if os.environ.get("OI_CKPT_FORMAT") == "oipk" else ".npz"
+            # OI_CKPT_FORMAT=oipk selects the native mmap pack — but only
+            # when the shared library actually built on this host; a broken
+            # toolchain must degrade to .npz, not kill the run at its first
+            # checkpoint.
+            ext = ".npz"
+            if os.environ.get("OI_CKPT_FORMAT") == "oipk":
+                from . import ckpt_native
+
+                if ckpt_native.available():
+                    ext = ".oipk"
+                else:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "OI_CKPT_FORMAT=oipk requested but the native pack "
+                        "is unavailable; falling back to .npz"
+                    )
             name = name + ext
         return os.path.join(self.checkpoint_dir, name)
 
@@ -189,7 +205,18 @@ class CheckpointIO:
         return p
 
     def load(self, name_or_path: str) -> Tuple[Any, Optional[dict]]:
-        p = resolve_checkpoint(name_or_path)
-        if not os.path.exists(p) and self.checkpoint_dir:
+        # Bare names resolve inside checkpoint_dir FIRST: a stray
+        # model.npz in the CWD must never shadow the run's checkpoint.
+        # Explicit paths (absolute, or containing a separator) resolve
+        # as given.
+        if self.checkpoint_dir and not os.path.isabs(name_or_path) and (
+            os.sep not in name_or_path
+        ):
             p = resolve_checkpoint(self.path(name_or_path))
+            if not os.path.exists(p):
+                p = resolve_checkpoint(name_or_path)
+        else:
+            p = resolve_checkpoint(name_or_path)
+            if not os.path.exists(p) and self.checkpoint_dir:
+                p = resolve_checkpoint(self.path(name_or_path))
         return load_pytree(p)

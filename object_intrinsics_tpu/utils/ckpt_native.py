@@ -1,8 +1,9 @@
 """ctypes bindings for the native checkpoint pack (native/ckptpack.cpp).
 
 Format ``.oipk``: "OIPK1\\n" | u64 header_len | JSON index | 64-aligned raw
-tensor payload. Saves go through one vectored C write (atomic tmp+fsync+
-rename, no Python-side payload assembly); loads mmap the file and hand out
+tensor payload. Saves stream each tensor through C ``write()`` calls into a
+tmp file (fsync+rename atomic, no Python-side payload assembly); loads mmap
+the file and hand out
 zero-copy numpy views. Used by utils/checkpoint.py when
 ``OI_CKPT_FORMAT=oipk``; the portable .npz path is the default.
 
@@ -67,7 +68,7 @@ def available() -> bool:
 
 
 def write_pack(path: str, flat: Dict[str, np.ndarray], meta: Optional[dict] = None) -> None:
-    """flat: {dotted-key: ndarray}. One vectored native write, atomic."""
+    """flat: {dotted-key: ndarray}. One native write pass, atomic."""
     lib = _load()
     assert lib is not None, "native ckptpack unavailable"
     arrays = {k: np.ascontiguousarray(v) for k, v in flat.items()}

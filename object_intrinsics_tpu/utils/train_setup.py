@@ -120,24 +120,49 @@ def get_log_dir(args) -> str:
     return os.path.join("logs", tag)
 
 
+def _check_log_dir_collision(log_dir: str, overwrite: bool, freeze: bool) -> None:
+    """Abort (on every rank) when the log dir already exists and -o wasn't
+    passed (tu/train/setup.py:67-69 in the reference).
+
+    The decision is made ONCE, by process 0, *before* it creates the dir,
+    and broadcast to the other processes — if every rank ran its own
+    os.path.exists a slower rank could observe the directory process 0 just
+    created and exit alone, leaving process 0 hung in the first cross-mesh
+    collective. Single-process runs with ``freeze=False`` (bench.py) skip
+    the check entirely: nothing is written, so nothing can collide."""
+    import jax
+
+    if jax.process_count() > 1:
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        local = 0
+        if jax.process_index() == 0:
+            local = int(os.path.exists(log_dir) and not overwrite)
+        collision = int(multihost_utils.broadcast_one_to_all(_np.int32(local)))
+    elif freeze:
+        collision = int(os.path.exists(log_dir) and not overwrite)
+    else:
+        collision = 0
+    if collision:
+        logger.error("%s exists (pass -o to overwrite)", log_dir)
+        sys.exit(1)
+
+
 def get_cfg(args, freeze: bool = True) -> Dict:
     """Assemble, resolve, and freeze the training config (tu/train/setup.py:53-90).
 
     ``freeze=False`` resolves the same config without touching the
-    filesystem (no log-dir collision check, no cfg.json dump) — used by
-    bench.py so the benched program is provably the trained program."""
+    filesystem (no log-dir collision check in single-process runs, no
+    cfg.json dump) — used by bench.py so the benched program is provably
+    the trained program."""
     cfg_path = args.config if os.path.exists(args.config) else f"configs/{args.config}.yaml"
     cfg = load_cfg_from_path(cfg_path)
     cfg = load_cfg_from_dict(cfg, os.path.dirname(cfg_path))
     overwrite_cfg(cfg, "dataset", args.dataset)
 
     log_dir = get_log_dir(args)
-    # collision check runs on EVERY rank (freeze only gates the writes):
-    # exiting on rank 0 alone would leave the other ranks blocked in the
-    # first cross-mesh collective of the SPMD train step
-    if os.path.exists(log_dir) and not args.overwrite:
-        logger.error("%s exists (pass -o to overwrite)", log_dir)
-        sys.exit(1)
+    _check_log_dir_collision(log_dir, args.overwrite, freeze)
     overwrite_cfg(cfg, "log_dir", log_dir, check_exists=False)
 
     overwrite_from_dataset(cfg)

@@ -113,6 +113,9 @@ def main():
         val_loader=None,
         epoch=epoch,
         seed=args.seed,
+        # epoch boundaries for max_epoch termination (loader is an
+        # infinite stream; drop_last semantics match dataset.batches)
+        batches_per_epoch=len(dataset) // local_bs,
     )
 
 

@@ -47,7 +47,7 @@ def test_dataset_uses_native_path():
 
 
 def test_native_ckptpack_roundtrip(tmp_path):
-    """Native .oipk checkpoint pack: vectored atomic write + mmap read must
+    """Native .oipk checkpoint pack: atomic write + mmap read must
     round-trip a realistic training-state pytree bit-exactly, through both
     the raw pack API and save_pytree/load_pytree."""
     import numpy as np

@@ -231,3 +231,64 @@ def test_shape_hessian_matches_finite_differences():
     np.testing.assert_allclose(np.asarray(diag),
                                np.diagonal(np.asarray(hess), axis1=-2, axis2=-1),
                                rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fast_sin: the polynomial sine that replaced jnp.sin in the SIREN trunk
+# (ops/film_siren.py). The reference uses exact torch.sin
+# (src/third_party/stylesdf/volume_renderer.py:50-61), so these tests pin the
+# substitution's accuracy — value, first derivative (eikonal/normals), and
+# second derivative (R1/grad-of-grad) — across the full guarded domain.
+# ---------------------------------------------------------------------------
+
+
+def _fast_sin_grid(lo, hi, n):
+    u32 = np.linspace(lo, hi, n).astype(np.float32)
+    return u32, u32.astype(np.float64)
+
+
+@pytest.mark.parametrize("lo,hi", [(-200.0, 200.0), (-fs.PHASE_REDUCTION_MAX, fs.PHASE_REDUCTION_MAX)])
+def test_fast_sin_value_accuracy(lo, hi):
+    u32, u64 = _fast_sin_grid(lo, hi, 400001)
+    got = np.asarray(fs.fast_sin(jnp.asarray(u32)))
+    assert np.max(np.abs(got - np.sin(u64))) < 8e-7
+
+
+@pytest.mark.parametrize("lo,hi", [(-200.0, 200.0), (-fs.PHASE_REDUCTION_MAX, fs.PHASE_REDUCTION_MAX)])
+def test_fast_sin_derivative_accuracy(lo, hi):
+    u32, u64 = _fast_sin_grid(lo, hi, 40001)
+    d1 = np.asarray(jax.vmap(jax.grad(fs.fast_sin))(jnp.asarray(u32)))
+    assert np.max(np.abs(d1 - np.cos(u64))) < 1e-5
+
+
+def test_fast_sin_grad_of_grad():
+    # R1 and eikonal-through-augment differentiate the trunk twice.
+    u32, u64 = _fast_sin_grid(-200.0, 200.0, 20001)
+    d2 = np.asarray(jax.vmap(jax.grad(jax.grad(fs.fast_sin)))(jnp.asarray(u32)))
+    assert np.max(np.abs(d2 + np.sin(u64))) < 1.5e-4
+
+
+def test_fast_sin_reduction_holds_past_guard():
+    # The Cody-Waite reduction stays exact well past the declared guard
+    # (headroom: the guard must trip before accuracy actually degrades).
+    u32, u64 = _fast_sin_grid(-2e4, 2e4, 200001)
+    got = np.asarray(fs.fast_sin(jnp.asarray(u32)))
+    assert np.max(np.abs(got - np.sin(u64))) < 1e-6
+
+
+def test_fast_sin_phase_guard_trips(monkeypatch):
+    # DEBUG-mode guard: phases beyond PHASE_REDUCTION_MAX must fail loudly,
+    # in-range phases must pass — including under jax.grad (the callback
+    # rides through AD on a stop_gradient'd scalar).
+    monkeypatch.setattr(fs, "_PHASE_CHECK", True)
+    key = jax.random.PRNGKey(0)
+    p = fs.init_film_siren(key, 3, 8, 4)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (1, 5, 3))
+    style = jax.random.normal(jax.random.fold_in(key, 2), (1, 4))
+
+    def loss(x):
+        return jnp.sum(fs.apply_film_siren(p, x, style))
+
+    jax.grad(loss)(x)  # in-range: must not raise
+    with pytest.raises(FloatingPointError, match="reduction range"):
+        jax.block_until_ready(fs.apply_film_siren(p, x * 1e6, style))
