@@ -38,8 +38,15 @@ def _fast_sincos(u, want_cos: bool):
     """In-kernel polynomial sine (and its exact-derivative cosine): the same
     Cody-Waite + degree-11 odd minimax construction as film_siren.fast_sin
     (|sin err| < 8e-7, |cos err| < 9e-6 over SIREN's phase range). Pure VPU
-    mul/add — Mosaic lowers transcendental `sin`/`cos` far slower."""
-    from .film_siren import _CW1, _CW2, _INV_2PI, _SIN_COEF
+    mul/add — Mosaic lowers transcendental `sin`/`cos` far slower.
+
+    Honors OI_FAST_SIN=0 (the film_siren escape hatch): emits the exact
+    transcendental pair instead, so disabling fast_sin isolates the
+    polynomial numerics on the Pallas path too."""
+    from .film_siren import _CW1, _CW2, _INV_2PI, _SIN_COEF, FAST_SIN
+
+    if not FAST_SIN:
+        return jnp.sin(u), (jnp.cos(u) if want_cos else None)
 
     k = jnp.round(u * _INV_2PI)
     r = (u - k * _CW1) - k * _CW2

@@ -44,6 +44,24 @@ def test_pallas_grad_matches_autodiff(setup):
     assert rel < 5e-3, rel
 
 
+def test_pallas_honors_fast_sin_escape_hatch(setup, monkeypatch):
+    """OI_FAST_SIN=0 must cover the Pallas kernel too: with the flag off the
+    in-kernel sin/cos are the exact transcendentals, so the trunk matches the
+    (also-exact) pure-JAX path to bf16_3x matmul error only."""
+    from object_intrinsics_tpu.ops import film_siren as fs
+
+    params, w, pts = setup
+    monkeypatch.setattr(fs, "FAST_SIN", False)
+    sdf_ref, feat_ref = fields.shape_forward(params, pts, w)  # exact jnp.sin
+    sdf, feat, grad = film_trunk_pallas(
+        params["pts_linears"], params["sigma_linear"], pts, w,
+        with_grad=True, interpret=True,
+    )
+    assert np.abs(np.asarray(sdf) - np.asarray(sdf_ref)).max() < 2e-3
+    _, grad_ref, _ = fields.shape_sdf_grad(params, pts, w)
+    assert np.abs(np.asarray(grad) - np.asarray(grad_ref)).max() < 5e-2
+
+
 def test_pallas_path_via_fields_helper(setup):
     params, w, pts = setup
     sdf, feat, grad = fields.shape_forward_pallas(params, pts, w, with_grad=True, interpret=True)
