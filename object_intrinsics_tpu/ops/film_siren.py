@@ -202,10 +202,11 @@ def fold_film(p: Params, style: jnp.ndarray):
     return w_g, b_g
 
 
-def apply_film_siren(p: Params, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
+def apply_film_siren(p: Params, x: jnp.ndarray, style: jnp.ndarray,
+                     precision: str | None = None) -> jnp.ndarray:
     """x: (bs, n, in_dim), style: (bs, style_dim) -> (bs, n, out_dim)."""
     w_g, b_g = fold_film(p, style)
-    h = jnp.einsum("bni,bio->bno", x, w_g, precision=MATMUL_PRECISION)
+    h = jnp.einsum("bni,bio->bno", x, w_g, precision=precision or MATMUL_PRECISION)
     phase = h + b_g[:, None, :]
     if _PHASE_CHECK and FAST_SIN:
         # DEBUG=1: fail loudly if trained gammas push phases outside the
@@ -228,7 +229,17 @@ def init_siren_trunk(key, depth: int, in_dim: int, width: int, style_dim: int) -
     return layers
 
 
+# Opt-in graded-precision tail: phase errors amplify ~3x per *downstream*
+# layer (sin is gamma~30-Lipschitz, and |W_g| rows contract the error by
+# ~sqrt(W)*|w| ~ 3), so the LAST k layers tolerate a single-pass bf16 matmul
+# while the early layers keep bf16_3x. OI_TRUNK_TAIL_FAST=k (default 0 =
+# uniform MATMUL_PRECISION); accuracy/perf measured by tools/bench_trunk.py.
+TRUNK_TAIL_FAST = int(__import__("os").environ.get("OI_TRUNK_TAIL_FAST", "0"))
+
+
 def apply_siren_trunk(layers: List[Params], x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
-    for p in layers:
-        x = apply_film_siren(p, x, style)
+    n = len(layers)
+    for i, p in enumerate(layers):
+        fast_tail = TRUNK_TAIL_FAST and i >= n - TRUNK_TAIL_FAST
+        x = apply_film_siren(p, x, style, precision="default" if fast_tail else None)
     return x

@@ -172,10 +172,17 @@ def run(log_dir: str, get_data_iter_fn: Callable, vi: str, save_frames: bool = F
     row = [viz.add_video_cell(maps_all[k], fps=25, fmt="mp4") for k in maps_all]
     row_gif = [viz.add_video_cell(maps_all[k], fps=25, fmt="gif") for k in maps_all]
     viz.dump_table([row, row_gif], col_names=list(maps_all.keys()), table_name="generator")
+    render_settings = (
+        f"depth_multiplier {depth_multiplier or 1}, "
+        f"resolution {test_resolution or 'train'}, "
+        f"weights {'EMA ' + str(ema) if ema is not None else 'raw'}, "
+        f"rays/tile {max_ray_batch}"
+    )
     viz.dump_table(
         [[cfg["log_dir"]],
          [str(cfg.get("runtime", {}).get("slurm_job_id", "local"))],
-         [f"epoch {model_info['epoch']}, it {model_info['it']}, {model_info['checkpoint_path']}"]],
+         [f"epoch {model_info['epoch']}, it {model_info['it']}, {model_info['checkpoint_path']}"],
+         [render_settings]],
         table_name="",
     )
     logger.info("wrote %s", os.path.join(html_dir, "index.html"))

@@ -81,9 +81,17 @@ def make_trunk_fn(variant: str):
 
     def trunk(params, pts, w):
         x = pts
-        for p in params["pts_linears"]:
+        n_layers = len(params["pts_linears"])
+        for i, p in enumerate(params["pts_linears"]):
+            mode = variant
+            if variant.startswith("graded"):
+                # phase errors amplify ~3x per downstream layer, so only the
+                # FIRST layers need the full bf16_3x; the tail can run single
+                # pass. graded<k>: last k layers at 'default'.
+                k = int(variant[len("graded"):] or 2)
+                mode = "default" if i >= n_layers - k else "high"
             w_g, b_g = fs.fold_film(p, w)
-            x = fs.fast_sin(film_matmul(x, w_g, b_g, mode=variant))
+            x = fs.fast_sin(film_matmul(x, w_g, b_g, mode=mode))
         sdf = fs.apply_linear(params["sigma_linear"], x)
         return sdf, x
 
@@ -138,7 +146,7 @@ def main():
     n_ref_u = n_ref / (jnp.linalg.norm(n_ref, axis=-1, keepdims=True) + 1e-12)
 
     rows = []
-    for variant in ["high", "default", "split_w", "split_x"]:
+    for variant in ["high", "default", "split_w", "split_x", "graded1", "graded2", "graded3"]:
         trunk = make_trunk_fn(variant)
         f_fwd = jax.jit(trunk)
         f_grad = jax.jit(grad_fn_of(trunk))
