@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--mesh", type=int, default=0,
                     help="bench data-parallel over N devices (0 = single device, -1 = all); "
                          "per-chip bs stays --bs, global batch scales with the mesh")
+    ap.add_argument("--spd", type=int, default=1,
+                    help="train steps per device dispatch (lax.scan block); "
+                         "semantics-identical to --spd 1, amortizes host/tunnel dispatch")
     args = ap.parse_args()
 
     import jax
@@ -85,27 +88,42 @@ def main():
         return float(stats["generator/loss"])
 
     key = jax.random.PRNGKey(0)
+
+    if args.spd > 1:
+        # K-steps-per-dispatch path (Trainer.train_step_multi): same step
+        # semantics, 1/K the host dispatches. Round timed steps up to blocks.
+        def run_steps(n, base):
+            n_blocks = max(1, n // args.spd)
+            for b in range(n_blocks):
+                stats = trainer.train_step_multi(
+                    [next(loader) for _ in range(args.spd)],
+                    jax.random.fold_in(key, base + b),
+                )
+            return stats, n_blocks * args.spd
+    else:
+        def run_steps(n, base):
+            for i in range(n):
+                stats = trainer.train_step(next(loader), jax.random.fold_in(key, base + i))
+            return stats, n
+
     t_compile = time.time()
-    for i in range(args.warmup):
-        stats = trainer.train_step(next(loader), jax.random.fold_in(key, i))
+    stats, _ = run_steps(args.warmup, 0)
     sync(stats)
     compile_s = time.time() - t_compile
 
     # Two timed windows; if throughput doesn't scale linearly the async
     # dispatch isn't being awaited correctly and we take the larger window.
     t0 = time.time()
-    for i in range(args.steps):
-        stats = trainer.train_step(next(loader), jax.random.fold_in(key, 100 + i))
+    stats, n1 = run_steps(args.steps, 100)
     sync(stats)
     dt1 = time.time() - t0
 
     t0 = time.time()
-    for i in range(args.steps * 2):
-        stats = trainer.train_step(next(loader), jax.random.fold_in(key, 500 + i))
+    stats, n2 = run_steps(args.steps * 2, 500)
     sync(stats)
     dt2 = time.time() - t0
 
-    it_per_sec = min(args.steps / dt1, args.steps * 2 / dt2)
+    it_per_sec = min(n1 / dt1, n2 / dt2)
     rays_per_sec = it_per_sec * args.bs * 128 * 128 * 3  # 3 renders per step
     result = {
         "metric": "train_iters_per_sec (data/example, 128px, bs=1/chip, 3 renders/step)",

@@ -31,7 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 W = 128  # trunk width (static for the kernel)
-TILE = 256  # points per grid step (keeps the 8-layer cos(arg) scratch in VMEM)
+# points per grid step (keeps the 8-layer cos(arg) scratch in VMEM);
+# OI_PALLAS_TILE sweeps it for the go/no-go bench (tools/bench_trunk.py)
+TILE = int(__import__("os").environ.get("OI_PALLAS_TILE", "256"))
 
 
 def _fast_sincos(u, want_cos: bool):

@@ -78,6 +78,33 @@ def data_parallel_step(step: Callable, mesh: Mesh):
     return jax.jit(fn, donate_argnums=(0,))
 
 
+def data_parallel_multi_step(step: Callable, mesh: Mesh):
+    """SPMD version of the K-steps-per-dispatch scan (see
+    Trainer._build_multi_step): batches arrive stacked (K, global_bs, ...)
+    and shard over the 'data' axis at axis 1; each scan iteration re-derives
+    the step key as fold_in(fold_in(root_key, it+1), chip_idx) — the exact
+    key the one-dispatch-per-step path uses — then pmean-syncs grads."""
+
+    def per_chip(state, batches, root_key):
+        idx = jax.lax.axis_index(DATA_AXIS)
+
+        def body(st, batch):
+            k = jax.random.fold_in(jax.random.fold_in(root_key, st["it"] + 1), idx)
+            return step(st, batch, k, grad_sync=pmean_grads)
+
+        state, stats = jax.lax.scan(body, state, batches)
+        stats = jax.tree.map(lambda x: jax.lax.pmean(x[-1], DATA_AXIS), stats)
+        return state, stats
+
+    fn = shard_map(
+        per_chip,
+        mesh,
+        in_specs=(P(), P(None, DATA_AXIS), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
 def state_hash(state) -> jnp.ndarray:
     """Integer hash of a pytree's raw bit patterns: (2,) uint32.
 

@@ -109,6 +109,7 @@ class Trainer:
         self.light_sphere = UnitSphere(self.generator.resolution, scale=0.5)
 
         self._step_fn_cache: Dict[int, Any] = {}
+        self._multi_fn_cache: Dict[Any, Any] = {}
         self._vis_fn_cache: Dict[int, Any] = {}
 
     # ------------------------------------------------------------------ jit
@@ -117,13 +118,13 @@ class Trainer:
     def it(self) -> int:
         return self._it_host
 
-    def _build_step(self, bs: int):
-        """One full adversarial step as a pure function; jitted with donation.
+    def _make_step_body(self, bs: int):
+        """The raw one-step function ``step(state, batch, key, grad_sync)``.
 
-        When ``self.mesh`` is set the same function runs data-parallel: the
-        batch and RNG shard over the 'data' axis, params/opt/EMA replicate,
-        and gradients are mean-reduced over the mesh by jax.grad under
-        shard_map (see parallel/mesh.py)."""
+        Used directly by ``_build_step`` (one dispatch per step) and under
+        ``lax.scan`` by ``_build_multi_step`` (K steps per dispatch — the
+        per-step host/tunnel dispatch cost is the single-chip throughput
+        bottleneck at this model size, see docs/DESIGN.md)."""
         gen = self.generator
         disc = self.discriminator
         mask_disc = self.mask_discriminator
@@ -301,16 +302,58 @@ class Trainer:
             }
             return new_state, ret
 
+        return step
+
+    def _build_step(self, bs: int):
+        """One full adversarial step as a pure function; jitted with donation.
+
+        When ``self.mesh`` is set the same function runs data-parallel: the
+        batch and RNG shard over the 'data' axis, params/opt/EMA replicate,
+        and gradients are mean-reduced over the mesh by jax.grad under
+        shard_map (see parallel/mesh.py)."""
+        step = self._make_step_body(bs)
         if self.mesh is not None:
             from ..parallel.mesh import data_parallel_step
 
             return data_parallel_step(step, self.mesh)
         return jax.jit(step, donate_argnums=(0,))
 
+    def _build_multi_step(self, bs: int, k_steps: int):
+        """K sequential train steps in ONE dispatch (lax.scan over stacked
+        batches). The math graph and RNG stream are identical to K calls of
+        the single-step path: the scan body re-derives each step's key as
+        ``fold_in(root_key, it + 1)`` — exactly what the train loop passes.
+        (XLA schedules the scan body differently from the unrolled step, so
+        results agree to float-rounding, not bitwise — the same class of
+        difference as any recompile; pinned by tests/test_trainer.py.) Only
+        the LAST step's stats are returned (the loop logs at print_every
+        boundaries, which k_steps must divide)."""
+        step = self._make_step_body(bs)
+        if self.mesh is not None:
+            from ..parallel.mesh import data_parallel_multi_step
+
+            return data_parallel_multi_step(step, self.mesh)
+
+        def multi(state, batches, root_key):
+            def body(st, batch):
+                k = jax.random.fold_in(root_key, st["it"] + 1)
+                return step(st, batch, k)
+
+            state, stats = jax.lax.scan(body, state, batches)
+            return state, jax.tree.map(lambda v: v[-1], stats)
+
+        return jax.jit(multi, donate_argnums=(0,))
+
     def _get_step_fn(self, bs: int):
         if bs not in self._step_fn_cache:
             self._step_fn_cache[bs] = self._build_step(bs)
         return self._step_fn_cache[bs]
+
+    def _get_multi_fn(self, bs: int, k_steps: int):
+        key = (bs, k_steps)
+        if key not in self._multi_fn_cache:
+            self._multi_fn_cache[key] = self._build_multi_step(bs, k_steps)
+        return self._multi_fn_cache[key]
 
     # ----------------------------------------------------------- public API
 
@@ -337,6 +380,27 @@ class Trainer:
         step_fn = self._get_step_fn(bs)
         self.state, stats = step_fn(self.state, batch_dev, key)
         self._it_host += 1
+        return stats
+
+    def train_step_multi(self, batches, root_key: jax.Array) -> Dict[str, jnp.ndarray]:
+        """Run ``len(batches)`` train steps in one device dispatch.
+
+        ``batches`` is a list of K single-step batches; per-step keys are
+        derived inside the program exactly as the train loop derives them
+        (``fold_in(root_key, it + 1)``), so this is a pure dispatch-count
+        optimization — same math graph, float-rounding-level differences
+        only. Single-controller only (the multi-process host-local/global
+        batch dance stays on the one-step path)."""
+        assert jax.process_count() == 1, "multi-step dispatch is single-controller only"
+        k_steps = len(batches)
+        stacked = {
+            k: jnp.asarray(np.stack([np.asarray(b[k]) for b in batches]))
+            for k in ("image", "mask")
+        }
+        bs = stacked["image"].shape[1]
+        fn = self._get_multi_fn(bs, k_steps)
+        self.state, stats = fn(self.state, stacked, root_key)
+        self._it_host += k_steps
         return stats
 
     # -------------------------------------------------------- visualization
@@ -472,11 +536,49 @@ def train_loops(
 
     debug = os.environ.get("DEBUG") == "1"
 
+    # K steps per device dispatch (lax.scan in the jitted program): the
+    # per-step host/tunnel dispatch dominates single-chip wall time at this
+    # model size, so batching dispatches raises throughput without touching
+    # step semantics (per-step keys are re-derived inside the program).
+    # Requires: single controller, no epoch bookkeeping, no profiler (which
+    # wants per-step granularity), and K dividing every logging cadence so
+    # boundaries always land between dispatches.
+    k_steps = int(
+        os.environ.get(
+            "OI_STEPS_PER_DISPATCH",
+            cfg.get("training", {}).get("steps_per_dispatch", 1) if cfg else 1,
+        )
+    )
+    if k_steps > 1:
+        blockers = []
+        if jax.process_count() > 1:
+            blockers.append("multi-process run")
+        if max_epoch is not None:
+            blockers.append("max_epoch epoch bookkeeping")
+        if debug:
+            blockers.append("DEBUG per-step checks")
+        if os.environ.get("OI_PROFILE_DIR"):
+            blockers.append("profiler tracing")
+        for name, every in (("print_every", print_every),
+                            ("visualize_every", visualize_every),
+                            ("checkpoint_every", checkpoint_every)):
+            if every > 0 and every % k_steps != 0:
+                blockers.append(f"{name}={every} not divisible by {k_steps}")
+        if blockers:
+            logger.warning(
+                "steps_per_dispatch=%d disabled (%s); using one dispatch per step",
+                k_steps, "; ".join(blockers),
+            )
+            k_steps = 1
+        else:
+            logger.info("dispatching %d train steps per device call", k_steps)
+
     try:
         _train_loop_body(
             trainer, train_loader, stop_requested, epoch, max_it, print_every,
             visualize_every, checkpoint_every, checkpoint_overwrite, debug,
             t0b, last_print_it, root_key, max_epoch, batches_per_epoch,
+            k_steps=k_steps,
         )
     finally:
         # restore on EVERY exit path (signal, max_it, loader exhaustion,
@@ -489,17 +591,20 @@ def _train_loop_body(
     trainer, train_loader, stop_requested, epoch, max_it, print_every,
     visualize_every, checkpoint_every, checkpoint_overwrite, debug,
     t0b, last_print_it, root_key, max_epoch=None, batches_per_epoch=None,
+    k_steps=1,
 ):
     n_consumed = 0
+    block = []  # buffered batches for the K-steps-per-dispatch path
     for batch in train_loader:
-        if stop_requested["flag"]:
-            trainer.save_checkpoint(overwrite=True, epoch=epoch)
-            logger.info("checkpointed at it=%d after signal; exiting", trainer.it)
-            return
-        if max_it is not None and trainer.it > max_it:
-            logger.info("reached max_it=%d", max_it)
-            trainer.save_checkpoint(overwrite=True, epoch=epoch)
-            return
+        if not block:  # never interrupt a partially-buffered block
+            if stop_requested["flag"]:
+                trainer.save_checkpoint(overwrite=True, epoch=epoch)
+                logger.info("checkpointed at it=%d after signal; exiting", trainer.it)
+                return
+            if max_it is not None and trainer.it > max_it:
+                logger.info("reached max_it=%d", max_it)
+                trainer.save_checkpoint(overwrite=True, epoch=epoch)
+                return
         if batches_per_epoch and n_consumed % batches_per_epoch == 0:
             # epoch boundary: the reference checks `epoch > max_epoch` with
             # the pre-increment value, then increments (reference
@@ -514,14 +619,29 @@ def _train_loop_body(
             epoch += 1
         n_consumed += 1
         profile_dir = os.environ.get("OI_PROFILE_DIR")
-        if profile_dir and trainer.it + 1 == 10:
-            jax.profiler.start_trace(profile_dir)
-        step_key = jax.random.fold_in(root_key, trainer.it + 1)
-        stats = trainer.train_step(batch, step_key)
-        if profile_dir and trainer.it == 15:
-            jax.block_until_ready(stats)
-            jax.profiler.stop_trace()
-            logger.info("wrote profiler trace to %s", profile_dir)
+        if k_steps > 1 and (
+            block
+            or (trainer.it % k_steps == 0
+                and (max_it is None or trainer.it + k_steps <= max_it))
+        ):
+            # blocked path: buffer K batches, then one scan dispatch. Blocks
+            # start at it % K == 0 and K divides every cadence, so logging /
+            # vis / checkpoint boundaries always land between dispatches;
+            # the tail to max_it (and any unaligned resume) runs single steps.
+            block.append(batch)
+            if len(block) < k_steps:
+                continue
+            stats = trainer.train_step_multi(block, root_key)
+            block = []
+        else:
+            if profile_dir and trainer.it + 1 == 10:
+                jax.profiler.start_trace(profile_dir)
+            step_key = jax.random.fold_in(root_key, trainer.it + 1)
+            stats = trainer.train_step(batch, step_key)
+            if profile_dir and trainer.it == 15:
+                jax.block_until_ready(stats)
+                jax.profiler.stop_trace()
+                logger.info("wrote profiler trace to %s", profile_dir)
 
         it = trainer.it
         if debug and trainer.mesh is not None and it < 10:

@@ -71,3 +71,50 @@ def test_max_epoch_resume_offset():
 def test_max_epoch_requires_batches_per_epoch():
     with pytest.raises(ValueError, match="batches_per_epoch"):
         _run(max_epoch=1)
+
+
+class _StubMultiTrainer(_StubTrainer):
+    def __init__(self):
+        super().__init__()
+        self.multi_calls = []
+
+    def train_step_multi(self, batches, root_key):
+        self.multi_calls.append(len(batches))
+        self.it += len(batches)
+        return {}
+
+
+def test_steps_per_dispatch_blocked_loop_matches_termination():
+    """K-steps-per-dispatch must terminate at the same iteration as the
+    single-step loop; the tail to max_it runs as single steps."""
+    t = _StubMultiTrainer()
+    train_loops(
+        eval_every=0, print_every=0, visualize_every=0, checkpoint_every=0,
+        checkpoint_overwrite=True, cfg={"training": {"steps_per_dispatch": 4}},
+        trainer=t, train_loader=_loader(), max_it=10,
+    )
+    assert t.it == 11  # identical to test_max_it_terminates
+    assert t.multi_calls == [4, 4]  # it 0->4->8, then singles 9..11
+
+
+def test_steps_per_dispatch_disabled_when_cadence_not_divisible():
+    t = _StubMultiTrainer()
+    train_loops(
+        eval_every=0, print_every=0, visualize_every=3, checkpoint_every=0,
+        checkpoint_overwrite=True, cfg={"training": {"steps_per_dispatch": 4}},
+        trainer=t, train_loader=_loader(), max_it=6,
+    )
+    assert t.multi_calls == []  # fell back to one dispatch per step
+    assert t.it == 7
+
+
+def test_steps_per_dispatch_disabled_under_max_epoch():
+    t = _StubMultiTrainer()
+    train_loops(
+        eval_every=0, print_every=0, visualize_every=0, checkpoint_every=0,
+        checkpoint_overwrite=True, cfg={"training": {"steps_per_dispatch": 4}},
+        trainer=t, train_loader=_loader(), max_epoch=0, batches_per_epoch=5,
+        max_it=10**9,
+    )
+    assert t.multi_calls == []
+    assert t.it == 10  # same as test_max_epoch_terminates_like_reference

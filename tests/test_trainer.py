@@ -91,6 +91,81 @@ def test_resumed_step_matches(tmp_path):
         assert np.allclose(np.asarray(s1[k]), np.asarray(s2[k]), atol=1e-5), k
 
 
+def test_multi_step_dispatch_matches_single_steps():
+    """K steps in one scan dispatch reproduce K single-step dispatches: same
+    math graph and same per-step keys (fold_in(root, it+1), re-derived
+    in-program). XLA schedules the scan body differently from the unrolled
+    step, so float rounding differs at ~1 ulp per op; after 4 GAN steps that
+    accumulates to ~1e-4 relative — we pin that bound, plus exact it/key
+    bookkeeping (a wrong key or batch order diverges at O(1))."""
+    root = jax.random.PRNGKey(42)
+    batches = [_batch(seed=10 + i) for i in range(4)]
+
+    t1 = _build_trainer(mesh=None, resolution=16)
+    for b in batches:
+        s_single = t1.train_step(b, jax.random.fold_in(root, t1.it + 1))
+
+    t2 = _build_trainer(mesh=None, resolution=16)
+    s_multi = t2.train_step_multi(batches, root)
+
+    assert t2.it == t1.it == 3
+    assert int(np.asarray(t2.state["it"])) == 3
+    _assert_states_track(t1.state, t2.state)
+    for k in s_single:
+        a, b = np.float64(s_single[k]), np.float64(s_multi[k])
+        assert abs(a - b) / (abs(b) + 1e-6) < 5e-2, (k, a, b)
+
+
+def test_multi_step_single_block_matches_one_step():
+    """A K=1 block is ONE step with the loop's exact key — the tightest
+    check of the in-program key derivation (a wrong key diverges at O(1),
+    while XLA reassociation stays at rounding level)."""
+    root = jax.random.PRNGKey(5)
+    b = _batch(seed=30)
+
+    t1 = _build_trainer(mesh=None, resolution=16)
+    t1.train_step(b, jax.random.fold_in(root, t1.it + 1))
+    t2 = _build_trainer(mesh=None, resolution=16)
+    t2.train_step_multi([b], root)
+
+    assert t1.it == t2.it == 0
+    # elementwise bounds are unattainable even at one step (RMSprop's
+    # g/sqrt(nu) is O(lr*10) sensitive where g ~ 0), but a wrong key or
+    # batch puts the global distance at O(1) instead of rounding level
+    _assert_states_track(t1.state, t2.state, rel=3e-3)
+
+
+def _assert_states_track(s1, s2, rel=1e-2):
+    """Global relative Frobenius distance between two training states —
+    rounding-level program differences stay orders below this; a key/batch
+    mix-up lands at O(1)."""
+    num = den = 0.0
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        num += float(((a - b) ** 2).sum())
+        den += float((b**2).sum())
+    assert num**0.5 / (den**0.5 + 1e-12) < rel, (num**0.5, den**0.5)
+
+
+def test_multi_step_dispatch_matches_on_mesh():
+    """Same check on the data-parallel path: the scan body folds the chip
+    index exactly like parallel/mesh.data_parallel_step does."""
+    from object_intrinsics_tpu.parallel.mesh import make_mesh
+
+    root = jax.random.PRNGKey(7)
+    batches = [_batch(bs=8, seed=20 + i) for i in range(2)]
+
+    t1 = _build_trainer(mesh=make_mesh(-1), resolution=16)
+    for b in batches:
+        t1.train_step(b, jax.random.fold_in(root, t1.it + 1))
+
+    t2 = _build_trainer(mesh=make_mesh(-1), resolution=16)
+    t2.train_step_multi(batches, root)
+
+    assert t2.it == t1.it
+    _assert_states_track(t1.state, t2.state)
+
+
 def test_state_hash_is_bitwise_sensitive():
     """The cross-chip consistency fingerprint must not admit float
     cancellation: two states whose errors cancel in a sum hash differently."""
