@@ -93,6 +93,26 @@ def up_sample(
     return sample_pdf(z_vals, weights, n_importance, det=True)
 
 
+def _rank_onehot(v: jnp.ndarray) -> jnp.ndarray:
+    """Stable ascending-sort permutation of the last (small) axis as a
+    one-hot matrix (..., n_in, n_out), via dense rank counting.
+
+    TPU-native replacement for argsort + take_along_axis: gathers lower to
+    serialized scalar-core loads (measured 6.9 ms for the (2,16384,20) merge
+    — the most expensive single fusion in the train step), while the n^2
+    compare + one-hot contraction is pure VPU work that XLA fuses into the
+    downstream reduce. Ranks tie-break by original index, exactly matching
+    a stable argsort of the concatenated array."""
+    n = v.shape[-1]
+    idx = jnp.arange(n)
+    j_before_i = idx[:, None] > idx[None, :]  # (i, j): j earlier than i
+    vi = v[..., :, None]
+    vj = v[..., None, :]
+    cmp = (vj < vi) | ((vj == vi) & j_before_i)
+    rank = jnp.sum(cmp, axis=-1)  # (..., n) in 0..n-1, a permutation
+    return (rank[..., :, None] == idx).astype(v.dtype)  # (..., i, k)
+
+
 def cat_z_vals(
     z_vals: jnp.ndarray,
     new_z_vals: jnp.ndarray,
@@ -100,14 +120,15 @@ def cat_z_vals(
     new_sdf: Optional[jnp.ndarray],
 ):
     """Merge + sort sample depths (and SDF values) along each ray
-    (renderer.py:183-197) with static output shapes."""
+    (renderer.py:183-197) with static output shapes and no gathers: the
+    sort is a rank one-hot contraction (see _rank_onehot)."""
     merged = jnp.concatenate([z_vals, new_z_vals], axis=-1)
-    order = jnp.argsort(merged, axis=-1)
-    z_sorted = jnp.take_along_axis(merged, order, axis=-1)
+    onehot = _rank_onehot(merged)
+    z_sorted = jnp.einsum("...ik,...i->...k", onehot, merged)
     if sdf is None:
         return z_sorted, None
     sdf_merged = jnp.concatenate([sdf, new_sdf], axis=-1)
-    sdf_sorted = jnp.take_along_axis(sdf_merged, order, axis=-1)
+    sdf_sorted = jnp.einsum("...ik,...i->...k", onehot, sdf_merged)
     return z_sorted, sdf_sorted
 
 

@@ -44,10 +44,16 @@ def sample_pdf(
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, nb - 1)
 
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_b = jnp.take_along_axis(bins, below, axis=-1)
-    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+    # one-hot contraction instead of take_along_axis: TPU gathers serialize
+    # on the scalar core (~1.4 ms each at train shapes, 4 per render); the
+    # dense select + reduce over the <=64-bin axis fuses on the VPU.
+    idx = jnp.arange(nb)
+    oh_b = (below[..., :, None] == idx).astype(cdf.dtype)  # (..., n_samples, nb)
+    oh_a = (above[..., :, None] == idx).astype(cdf.dtype)
+    cdf_b = jnp.sum(cdf[..., None, :] * oh_b, axis=-1)
+    cdf_a = jnp.sum(cdf[..., None, :] * oh_a, axis=-1)
+    bins_b = jnp.sum(bins[..., None, :] * oh_b, axis=-1)
+    bins_a = jnp.sum(bins[..., None, :] * oh_a, axis=-1)
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
