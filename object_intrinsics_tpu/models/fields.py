@@ -66,22 +66,6 @@ def shape_sdf(params: Params, pts: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return shape_forward(params, pts, w)[0]
 
 
-def shape_forward_pallas(params: Params, pts: jnp.ndarray, w: jnp.ndarray,
-                         with_grad: bool = False, interpret: bool = False):
-    """Fused Pallas trunk evaluation (ops/pallas_film.py): one VMEM-resident
-    pass over point tiles; optional in-kernel analytic point gradient.
-
-    NOT differentiable (no custom VJP) — for no-grad paths only: the coarse
-    importance pass, discriminator-step renders, and evaluation. Returns
-    (sdf, feat, grad-or-None)."""
-    from ..ops.pallas_film import film_trunk_pallas
-
-    return film_trunk_pallas(
-        params["pts_linears"], params["sigma_linear"], pts, w,
-        with_grad=with_grad, interpret=interpret,
-    )
-
-
 def shape_sdf_grad(params: Params, pts: jnp.ndarray, w: jnp.ndarray):
     """SDF value, analytic spatial gradient, and features in one pass.
 

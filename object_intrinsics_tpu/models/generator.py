@@ -85,20 +85,14 @@ class Generator:
         renderer: dict,
         anneal_end: int,
         pose_prior: dict,
-        use_pallas: Optional[bool] = None,
     ):
+        # (A fused Pallas trunk kernel was evaluated through r3 and removed:
+        # the trunk is VPU-sin-bound, so the kernel tied XLA on the forward
+        # and lost 3x on the gradient — postmortem in docs/DESIGN.md.)
         self.z_dim = int(z_dim)
         self.resolution = int(resolution)
         self.scene_resolution = int(scene_resolution)
         self.anneal_end = int(anneal_end)
-
-        if use_pallas is None:
-            # Opt-in: on a v5e the fused Pallas trunk currently ties XLA on
-            # the forward (both are VPU-sin + 3-pass-matmul bound) and loses
-            # on forward+gradient, so the XLA path is the default. Kept as
-            # infrastructure for wider-MXU parts / future Mosaic versions.
-            use_pallas = False
-        self.use_pallas = bool(use_pallas)
 
         self.camera: Camera = build_from_config(camera)
         self.pose_prior = build_from_config(pose_prior)
@@ -180,40 +174,20 @@ class Generator:
     # --------------------------------------------------------------- render
 
     def _field_fns(self, params: Params, w: jnp.ndarray, fast: bool) -> FieldFns:
-        """Field closures for the renderer.
-
-        The coarse importance pass always runs the fused Pallas trunk behind
-        stop_gradient (its samples are detached anyway, renderer.py:390 in
-        the reference, so no autodiff rule is needed). With ``fast=True`` —
-        used for the no-grad discriminator-step renders and evaluation — the
-        fine pass also runs the Pallas kernel with its in-kernel analytic
-        normal; otherwise the fine pass stays pure-JAX so jax.grad can
-        differentiate the generator loss through it.
-        """
+        """Field closures for the renderer. ``fast`` marks no-grad renders
+        (discriminator-step fakes, evaluation); the renderer detaches the
+        coarse pass itself (renderer.py:390 in the reference), and every
+        path stays pure-JAX so jax.grad can differentiate the generator
+        loss through the fine pass."""
+        del fast
         sdf_p = params["sdf_network"]
         color_p = params["color_network"]
-        sg = jax.lax.stop_gradient
 
-        if self.use_pallas:
-            sdf_p_sg = sg(sdf_p)
+        def coarse_sdf(pts):
+            return fields.shape_sdf(sdf_p, pts, w)
 
-            def coarse_sdf(pts):
-                return fields.shape_forward_pallas(sdf_p_sg, sg(pts), sg(w))[0]
-
-        else:
-            def coarse_sdf(pts):
-                return fields.shape_sdf(sdf_p, pts, w)
-
-        if fast and self.use_pallas:
-            def sdf_grad(pts):
-                sdf, feat, grad = fields.shape_forward_pallas(
-                    sg(sdf_p), sg(pts), sg(w), with_grad=True
-                )
-                return sdf, grad, feat
-
-        else:
-            def sdf_grad(pts):
-                return fields.shape_sdf_grad(sdf_p, pts, w)
+        def sdf_grad(pts):
+            return fields.shape_sdf_grad(sdf_p, pts, w)
 
         return FieldFns(
             sdf=coarse_sdf,

@@ -229,17 +229,12 @@ def init_siren_trunk(key, depth: int, in_dim: int, width: int, style_dim: int) -
     return layers
 
 
-# Opt-in graded-precision tail: phase errors amplify ~3x per *downstream*
-# layer (sin is gamma~30-Lipschitz, and |W_g| rows contract the error by
-# ~sqrt(W)*|w| ~ 3), so the LAST k layers tolerate a single-pass bf16 matmul
-# while the early layers keep bf16_3x. OI_TRUNK_TAIL_FAST=k (default 0 =
-# uniform MATMUL_PRECISION); accuracy/perf measured by tools/bench_trunk.py.
-TRUNK_TAIL_FAST = int(__import__("os").environ.get("OI_TRUNK_TAIL_FAST", "0"))
+# (A graded-precision tail — 'default' matmuls for the last k layers — was
+# measured in r3 and removed: the trunk is VPU-sin-bound, so it saved ~0 ms
+# while corrupting normals by 18-83 deg. tools/bench_trunk.py; DESIGN.md.)
 
 
 def apply_siren_trunk(layers: List[Params], x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
-    n = len(layers)
-    for i, p in enumerate(layers):
-        fast_tail = TRUNK_TAIL_FAST and i >= n - TRUNK_TAIL_FAST
-        x = apply_film_siren(p, x, style, precision="default" if fast_tail else None)
+    for p in layers:
+        x = apply_film_siren(p, x, style)
     return x

@@ -18,13 +18,16 @@ Variants:
   default   single bf16 pass (known-corrupt baseline)            [1 pass]
   split_w   x->bf16 once; W split hi/lo: x@w_hi + x@w_lo         [2 passes]
   split_x   W->bf16 once; x split hi/lo: x_hi@w + x_lo@w         [2 passes]
-  pallas    ops/pallas_film.py fused kernel (fwd and fwd+ingrad)
+  graded<k> 'high' early layers, 'default' for the last k
+
+Measured verdict (v5e, bs=2, n=327680, r3 — recorded in docs/DESIGN.md):
+the trunk is VPU-bound on the sin polynomial, not matmul-bound ('default'
+fwd is only ~10% faster than 'high'), so every cheaper-matmul variant buys
+nothing and corrupts normals. 'high' stays the production setting.
 
 Usage: python tools/bench_trunk.py [--n 327680] [--bs 1] [--iters 20]
-Results recorded in docs/DESIGN.md (perf log).
 """
 import argparse
-import functools
 import os
 import sys
 import time
@@ -114,7 +117,6 @@ def main():
     ap.add_argument("--n", type=int, default=327680)
     ap.add_argument("--bs", type=int, default=1)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--skip-pallas", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (handled pre-parse at import)")
     args = ap.parse_args()
@@ -161,24 +163,6 @@ def main():
         rows.append((variant, t_fwd, t_grad, err_sdf, err_ang))
         print(f"{variant:9s} fwd {t_fwd:7.2f} ms  grad {t_grad:7.2f} ms  "
               f"|sdf err| {err_sdf:.2e}  normal err {err_ang:.3f} deg")
-
-    if not args.skip_pallas:
-        try:
-            f_p = jax.jit(functools.partial(fields.shape_forward_pallas, with_grad=False))
-            f_pg = jax.jit(functools.partial(fields.shape_forward_pallas, with_grad=True))
-            sdf_p = f_p(params, pts, w)[0]
-            sdf_pg, _, nrm_p = f_pg(params, pts, w)
-            nrm_pu = nrm_p / (jnp.linalg.norm(nrm_p, axis=-1, keepdims=True) + 1e-12)
-            err_sdf = float(jnp.max(jnp.abs(sdf_p - sdf_ref)))
-            cos = jnp.clip(jnp.sum(nrm_pu * n_ref_u, -1), -1, 1)
-            err_ang = float(jnp.max(jnp.arccos(cos))) * 180 / np.pi
-            t_fwd = timed(f_p, params, pts, w, iters=args.iters)
-            t_grad = timed(f_pg, params, pts, w, iters=args.iters)
-            print(f"{'pallas':9s} fwd {t_fwd:7.2f} ms  ingrad {t_grad:7.2f} ms  "
-                  f"|sdf err| {err_sdf:.2e}  normal err {err_ang:.3f} deg")
-        except Exception as e:  # pallas unavailable on this backend
-            print(f"pallas: skipped ({type(e).__name__}: {e})")
-
 
 if __name__ == "__main__":
     main()
