@@ -31,25 +31,20 @@ def _conv_init(key, kh, kw, cin, cout, bias=False):
     return p
 
 
-# Opt-in bf16 conv storage: cast activations+weights to bf16 (halving HBM
-# traffic into the MXU) and accumulate in fp32. Params and grads stay fp32;
-# the casts are linear so R1's grad-of-grad composes exactly. Off by default
-# pending a twin-run GAN-stability check (tools/twin_r1.py).
-D_CONV_BF16 = __import__("os").environ.get("OI_D_CONV_BF16", "0") == "1"
+# (A bf16-storage conv option was evaluated in r3 and dropped: the conv
+# stack is a small share of the step, fp32 operands already run single-pass
+# bf16 on the MXU by default, and bf16 storage breaks the R1 grad-of-grad
+# transpose (f32 cotangent from preferred_element_type vs bf16 weights).
+# docs/DESIGN.md r3 findings.)
 
 
 def _conv(x, p, stride, padding):
-    w = p["w"]
-    if D_CONV_BF16:
-        x = x.astype(jnp.bfloat16)
-        w = w.astype(jnp.bfloat16)
     out = jax.lax.conv_general_dilated(
         x,
-        w,
+        p["w"],
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if "b" in p:
         out = out + p["b"]

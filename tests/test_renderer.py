@@ -103,6 +103,26 @@ def test_cat_z_vals_sorts_and_gathers():
     assert np.allclose(np.asarray(ss)[0, 0], [10, 20, 30, 40, 50])
 
 
+def test_rank_onehot_matches_stable_argsort_with_ties():
+    """The gather-free sort must reproduce a STABLE argsort exactly,
+    including duplicate depths (coincident samples tie-break by original
+    position, so the carried SDF pairs with the right z)."""
+    from object_intrinsics_tpu.ops.renderer import _rank_onehot
+
+    rng = np.random.RandomState(0)
+    # quantize to force many exact ties
+    v = rng.randint(0, 5, size=(3, 7, 12)).astype(np.float32)
+    onehot = np.asarray(_rank_onehot(jnp.asarray(v)))
+    sorted_oh = np.einsum("...ik,...i->...k", onehot, v)
+    np.testing.assert_array_equal(sorted_oh, np.sort(v, axis=-1, kind="stable"))
+    # permutation matrix: payload carried by the same permutation matches
+    # take_along_axis with the stable argsort order
+    payload = rng.rand(3, 7, 12).astype(np.float32)
+    carried = np.einsum("...ik,...i->...k", onehot, payload)
+    order = np.argsort(v, axis=-1, kind="stable")
+    np.testing.assert_array_equal(carried, np.take_along_axis(payload, order, axis=-1))
+
+
 def test_render_perturb_reproducible():
     rcfg = RendererConfig(n_samples=16, n_importance=4, perturb=1)
     fns = _sphere_fns()
