@@ -24,6 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.renderer import FieldFns, RendererConfig, render as neus_render
+
+# OI_REMAT=1: rematerialize the differentiated field evaluation (see
+# Generator._field_fns) — fits bs>=4 per chip at ~one extra trunk forward.
+REMAT = __import__("os").environ.get("OI_REMAT", "0") == "1"
 from ..utils.config import build_from_config, register_target
 from ..utils.pose import invert_rot_t
 from . import fields, lighting
@@ -178,16 +182,29 @@ class Generator:
         (discriminator-step fakes, evaluation); the renderer detaches the
         coarse pass itself (renderer.py:390 in the reference), and every
         path stays pure-JAX so jax.grad can differentiate the generator
-        loss through the fine pass."""
-        del fast
+        loss through the fine pass.
+
+        OI_REMAT=1 wraps the differentiated field evaluation in
+        ``jax.checkpoint``: the trunk's per-layer activations (the dominant
+        HBM cost of the fused step — ~5 GB per batch sample at the flagship
+        shapes, capping bs/chip at 2) are recomputed in the backward pass
+        instead of stored, trading ~one extra trunk forward for the memory
+        to fit bs>=4 per chip. No effect on no-grad renders."""
         sdf_p = params["sdf_network"]
         color_p = params["color_network"]
 
         def coarse_sdf(pts):
             return fields.shape_sdf(sdf_p, pts, w)
 
-        def sdf_grad(pts):
-            return fields.shape_sdf_grad(sdf_p, pts, w)
+        if REMAT and not fast:
+            fine_eval = jax.checkpoint(fields.shape_sdf_grad)
+
+            def sdf_grad(pts):
+                return fine_eval(sdf_p, pts, w)
+
+        else:
+            def sdf_grad(pts):
+                return fields.shape_sdf_grad(sdf_p, pts, w)
 
         return FieldFns(
             sdf=coarse_sdf,

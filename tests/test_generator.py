@@ -83,3 +83,22 @@ def test_forward_map_shapes_and_ranges(gen, params):
     assert m.min() >= 1e-3 - 1e-6 and m.max() <= 1 - 1e-3 + 1e-6
     assert np.isfinite(np.asarray(ro["image"])).all()
     assert out["prior_info"]["c2b"].shape == (2, 4, 4)
+
+
+def test_remat_gradients_match_stored(gen, params, monkeypatch):
+    """OI_REMAT recomputes the fine field evaluation in the backward pass;
+    the loss gradient must equal the stored-activation path (same math
+    graph; jax.checkpoint only changes WHEN things are computed)."""
+    from object_intrinsics_tpu.models import generator as gen_mod
+
+    def loss(p, remat):
+        monkeypatch.setattr(gen_mod, "REMAT", remat)
+        out = gen.forward(p, jax.random.PRNGKey(3), 1, jnp.asarray(5), {}, train=True)
+        box = out["box"]
+        return jnp.mean(box["render_out"]["image"]) + box["loss"]["eikonal"]
+
+    g_stored = jax.grad(lambda p: loss(p, False))(params)
+    g_remat = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g_stored), jax.tree.leaves(g_remat)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.all(np.abs(a - b) <= 1e-6 + 1e-4 * np.abs(b).max())
