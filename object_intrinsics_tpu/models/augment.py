@@ -32,6 +32,10 @@ import numpy as np
 
 from ..ops.grid_sample import affine_grid, grid_sample
 from ..ops.upfirdn2d import WAVELETS, downsample2d, setup_filter, upsample2d
+
+# geometric-apron override: unset = 5-sigma static bound (_static_margin),
+# an integer = explicit pixels, 'exact' = the reference's clamp ceiling
+_AUG_MARGIN = __import__("os").environ.get("OI_AUG_MARGIN", "")
 from ..utils.config import register_target
 
 
@@ -191,6 +195,41 @@ class AugmentPipe:
         # bandpass filter bank for image-space filtering (augment.py:170-179)
         self.Hz_fbank = self._build_fbank()
 
+    def _static_margin(self, size: int) -> int:
+        """Static reflect-apron width for the geometric warp, in pixels.
+
+        The reference computes the apron per batch from the sampled
+        transforms and clamps it to size-1 (augment.py:272-283); any apron
+        at least as wide as a draw needs samples identical content. For
+        static TPU shapes we bound the needed apron at 5 sigma of every
+        enabled transform (P(exceed) < 3e-7 per gaussian draw: in the rare
+        tail the warp reads clamped instead of deeper-reflected border
+        pixels for that one sample). Cost scales ~quadratically with the
+        apron — the 5-sigma bound more than halves the geometric-branch
+        work at the shipped scale+xint config (docs/DESIGN.md r3).
+        OI_AUG_MARGIN overrides: a pixel count, or 'exact' for the
+        reference clamp ceiling."""
+        if _AUG_MARGIN == "exact":
+            return size - 1
+        if _AUG_MARGIN:
+            return min(int(_AUG_MARGIN), size - 1)
+        half = size / 2.0
+        extent = 1.0
+        if self.scale:
+            extent *= 2.0 ** (5 * self.scale_std)
+        if self.aniso:
+            extent *= 2.0 ** (5 * self.aniso_std)
+        if self.rotate:
+            extent *= np.sqrt(2.0)
+        translate = 0.0
+        if self.xint:
+            translate += self.xint_max * size
+        if self.xfrac:
+            translate += 5 * self.xfrac_std * size
+        support = self.Hz_geom.shape[0]  # filter taps + bilinear slack
+        margin = int(np.ceil(half * (extent - 1.0) + translate + support))
+        return int(min(max(margin, support), size - 1))
+
     @staticmethod
     def _build_fbank() -> np.ndarray:
         import scipy.signal
@@ -335,9 +374,11 @@ class AugmentPipe:
         bs, height, width, channels = images.shape
         Hz_pad = self.Hz_geom.shape[0] // 4
 
-        # Static reflect apron at the reference's clamp ceiling (augment.py:272-283).
-        mx = width - 1
-        my = height - 1
+        # Static reflect apron (see _static_margin; any symmetric apron is
+        # geometrically consistent — the normalization below uses the
+        # actual padded extent).
+        mx = self._static_margin(width)
+        my = self._static_margin(height)
         images = jnp.pad(images, ((0, 0), (my, my), (mx, mx), (0, 0)), mode="reflect")
         # symmetric margins -> the origin-adjustment translate is identity
 

@@ -206,7 +206,14 @@ def apply_film_siren(p: Params, x: jnp.ndarray, style: jnp.ndarray,
                      precision: str | None = None) -> jnp.ndarray:
     """x: (bs, n, in_dim), style: (bs, style_dim) -> (bs, n, out_dim)."""
     w_g, b_g = fold_film(p, style)
-    h = jnp.einsum("bni,bio->bno", x, w_g, precision=precision or MATMUL_PRECISION)
+    if x.shape[0] == 1:
+        # bs=1 (the differentiated generator render): a plain 2D GEMM —
+        # the batched dot at b=1 makes XLA pick batch-major T(1,128)
+        # layouts for the 327k-row activations, paying relayout copies in
+        # both autodiff directions (profiler r3).
+        h = jnp.matmul(x[0], w_g[0], precision=precision or MATMUL_PRECISION)[None]
+    else:
+        h = jnp.einsum("bni,bio->bno", x, w_g, precision=precision or MATMUL_PRECISION)
     phase = h + b_g[:, None, :]
     if _PHASE_CHECK and FAST_SIN:
         # DEBUG=1: fail loudly if trained gammas push phases outside the
