@@ -56,7 +56,15 @@ def shape_style(params: Params, z: jnp.ndarray) -> jnp.ndarray:
 
 
 def shape_forward(params: Params, pts: jnp.ndarray, w: jnp.ndarray):
-    """pts: (bs, n, 3), w: (bs, style_dim) -> (sdf (bs, n, 1), feat (bs, n, W))."""
+    """pts: (bs, n, 3), w: (bs, style_dim) -> (sdf (bs, n, 1), feat (bs, n, W)).
+
+    bs=1 runs the whole chain in 2D (one squeeze at entry, one unsqueeze at
+    exit) so every activation between layers is a clean (n, W) GEMM operand
+    — see apply_film_siren's layout note."""
+    if pts.shape[0] == 1:
+        h = fs.apply_siren_trunk(params["pts_linears"], pts[0], w)
+        sdf = fs.apply_linear(params["sigma_linear"], h)
+        return sdf[None], h[None]
     h = fs.apply_siren_trunk(params["pts_linears"], pts, w)
     sdf = fs.apply_linear(params["sigma_linear"], h)
     return sdf, h
@@ -130,6 +138,10 @@ def color_forward(params: Params, feat: jnp.ndarray, normals: jnp.ndarray, w: jn
     """Albedo from (features, raw normals); view-independent despite the name
     (src/models/fields.py:80-101). feat: (bs, n, W), normals: (bs, n, 3)."""
     h = jnp.concatenate([feat, normals], axis=-1)
+    if h.shape[0] == 1:  # 2D fast path, see shape_forward
+        h2 = fs.apply_film_siren(params["views_linears"], h[0], w)
+        rgb = fs.apply_linear(params["rgb_linear"], h2)[None]
+        return jax.nn.sigmoid(rgb)
     h = fs.apply_film_siren(params["views_linears"], h, w)
     rgb = fs.apply_linear(params["rgb_linear"], h)
     return jax.nn.sigmoid(rgb)

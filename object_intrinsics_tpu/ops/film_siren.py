@@ -204,16 +204,22 @@ def fold_film(p: Params, style: jnp.ndarray):
 
 def apply_film_siren(p: Params, x: jnp.ndarray, style: jnp.ndarray,
                      precision: str | None = None) -> jnp.ndarray:
-    """x: (bs, n, in_dim), style: (bs, style_dim) -> (bs, n, out_dim)."""
+    """x: (bs, n, in_dim) or 2D (n, in_dim) with bs=1 style; style:
+    (bs, style_dim) -> matching (bs, n, out_dim) / (n, out_dim).
+
+    The 2D form is the bs=1 generator render: plain GEMMs end-to-end —
+    batched dots at b=1 make XLA pick batch-major T(1,128) layouts for the
+    327k-row activations and pay relayout copies in both autodiff
+    directions (profiler, r3)."""
     w_g, b_g = fold_film(p, style)
-    if x.shape[0] == 1:
-        # bs=1 (the differentiated generator render): a plain 2D GEMM —
-        # the batched dot at b=1 makes XLA pick batch-major T(1,128)
-        # layouts for the 327k-row activations, paying relayout copies in
-        # both autodiff directions (profiler r3).
-        h = jnp.matmul(x[0], w_g[0], precision=precision or MATMUL_PRECISION)[None]
-    else:
-        h = jnp.einsum("bni,bio->bno", x, w_g, precision=precision or MATMUL_PRECISION)
+    if x.ndim == 2:
+        phase = jnp.matmul(x, w_g[0], precision=precision or MATMUL_PRECISION) + b_g[0]
+        if _PHASE_CHECK and FAST_SIN:
+            jax.debug.callback(
+                _phase_range_cb, jax.lax.stop_gradient(jnp.max(jnp.abs(phase)))
+            )
+        return fast_sin(phase)
+    h = jnp.einsum("bni,bio->bno", x, w_g, precision=precision or MATMUL_PRECISION)
     phase = h + b_g[:, None, :]
     if _PHASE_CHECK and FAST_SIN:
         # DEBUG=1: fail loudly if trained gammas push phases outside the
