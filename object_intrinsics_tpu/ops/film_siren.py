@@ -74,6 +74,22 @@ def _phase_range_cb(max_abs) -> None:
             "to use exact jnp.sin."
         )
 
+
+def _phase_guard(phase: jnp.ndarray) -> jnp.ndarray:
+    """DEBUG-mode range check for the polynomial reduction.
+
+    Host callbacks are unsupported on the axon TPU tunnel (its
+    default_backend still reports 'tpu'; detect it via the jax_platforms
+    config the environment pins). There the guard NaN-poisons the phases
+    instead — DEBUG=1 also enables jax_debug_nans, which converts the
+    poison into a loud error at the first out-of-range phase (a NaN source
+    traced to fast_sin means: check FiLM gammas, or set OI_FAST_SIN=0)."""
+    max_abs = jax.lax.stop_gradient(jnp.max(jnp.abs(phase)))
+    if "axon" in (jax.config.jax_platforms or ""):
+        return jnp.where(max_abs > PHASE_REDUCTION_MAX, jnp.nan, 1.0) * phase
+    jax.debug.callback(_phase_range_cb, max_abs)
+    return phase
+
 # minimax-grade fit of sin(r)/r in powers of r^2 on [-pi, pi] (max err 1.9e-7)
 _SIN_COEF = (
     0.9999999381599484,
@@ -215,18 +231,14 @@ def apply_film_siren(p: Params, x: jnp.ndarray, style: jnp.ndarray,
     if x.ndim == 2:
         phase = jnp.matmul(x, w_g[0], precision=precision or MATMUL_PRECISION) + b_g[0]
         if _PHASE_CHECK and FAST_SIN:
-            jax.debug.callback(
-                _phase_range_cb, jax.lax.stop_gradient(jnp.max(jnp.abs(phase)))
-            )
+            phase = _phase_guard(phase)
         return fast_sin(phase)
     h = jnp.einsum("bni,bio->bno", x, w_g, precision=precision or MATMUL_PRECISION)
     phase = h + b_g[:, None, :]
     if _PHASE_CHECK and FAST_SIN:
         # DEBUG=1: fail loudly if trained gammas push phases outside the
-        # polynomial's guarded reduction range (host callback, grad-safe).
-        jax.debug.callback(
-            _phase_range_cb, jax.lax.stop_gradient(jnp.max(jnp.abs(phase)))
-        )
+        # polynomial's guarded reduction range (grad-safe).
+        phase = _phase_guard(phase)
     return fast_sin(phase)
 
 
