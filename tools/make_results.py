@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--ref", default="/root/reference/assets")
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--out", default="docs/results")
+    ap.add_argument("--latent", default=None,
+                    help="our latent-walk gallery dir (ours-only strip; the "
+                         "reference ships no latent GIFs to compare against)")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -83,12 +86,49 @@ def main():
         "(README.md:49 there): 100k training iterations, then "
         "`scripts/test.py -depth 16` (256+64 samples/ray) camera-walk GIFs.",
         "",
+        "## Provenance",
+        "",
+        "- **Training run**: `logs/__root_reference_data_example_train_flagship100k`,",
+        "  `configs/train.yaml` + the dataset's `cfg.yaml` unmodified (the parity",
+        "  configuration: 128², 16+4 samples/ray, bs=1, 3 renders/step), seed 0,",
+        "  one TPU v5e chip. Trained 0→39k (round 2), resumed from the SIGTERM",
+        "  checkpoint 39k→40k, then 40k→100k (round 3) — final checkpoint",
+        "  `model.npz` / `model.oipk` at **it=100001** (`checkpoints/model.npz.json`).",
+        "- **Galleries** (each `index.html` prints checkpoint + render settings):",
+        f"  raw weights under `{args.ours}`; EMA 0.99 under `{args.ours_ema}` —",
+        "  the EMA render loads through the **native `.oipk` checkpoint pack**",
+        "  (mmap read path; the gallery's provenance line records `model.oipk`).",
+        "  Camera walk 128 frames, latent walk 256 frames, depth_multiplier 16,",
+        "  1024 rays/tile chunked eval.",
+        f"- **Reference row**: `{args.ref}/row000000_c0{{0,1,2}}.gif`, the GIFs",
+        "  the reference repo ships for this dataset.",
+        "",
+        "EMA 0.99 vs raw at it=100k: visually near-identical (the EMA horizon of",
+        "1/(1-0.99)=100 steps is short against the 100k schedule); both rows are",
+        "included below so the comparison is checkable rather than asserted.",
+        "",
     ]
     for m, png, labels in rows_md:
         rel = os.path.relpath(png, "docs")
         md += [f"## {m}", "",
                f"Rows, top to bottom: {'; '.join(labels)}.", "",
                f"![{m}]({rel})", ""]
+    if args.latent:
+        panels = [strip(gif_frames(find_our_gif(args.latent, m), args.frames))
+                  for m in MAPS]
+        img = np.concatenate(panels, axis=0)
+        out_png = os.path.join(args.out, "latent_walk.png")
+        Image.fromarray(img.astype(np.uint8)).save(out_png)
+        print("wrote", out_png)
+        md += [
+            "## latent walk (ours)", "",
+            "Pose fixed at canonical; cubic interpolation through 16 w-space",
+            "anchors (256 frames). Rows: appearance / normal / shading. The",
+            "reference ships no latent-walk GIFs, so this row is ours only.",
+            "",
+            f"![latent]({os.path.relpath(out_png, 'docs')})", "",
+        ]
+
     md += [
         "Frames are sampled evenly from each 128-frame camera walk. Pose",
         "conventions match; the walks start at each run's own canonical pose,",
