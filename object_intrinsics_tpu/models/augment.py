@@ -202,9 +202,11 @@ class AugmentPipe:
         transforms and clamps it to size-1 (augment.py:272-283); any apron
         at least as wide as a draw needs samples identical content. For
         static TPU shapes we bound the needed apron at 5 sigma of every
-        enabled transform (P(exceed) < 3e-7 per gaussian draw: in the rare
-        tail the warp reads clamped instead of deeper-reflected border
-        pixels for that one sample). Cost scales ~quadratically with the
+        enabled transform (P(exceed) < 3e-7 per gaussian draw). In the
+        rare tail the warp reads outside the apron: the grid_sample path
+        clamps to the apron border, the separable path contributes zero
+        (black) for those source pixels — one augmented sample's border
+        ring, once per ~10M draws. Cost scales ~quadratically with the
         apron — the 5-sigma bound more than halves the geometric-branch
         work at the shipped scale+xint config (docs/DESIGN.md r3).
         OI_AUG_MARGIN overrides: a pixel count, or 'exact' for the
@@ -221,11 +223,15 @@ class AugmentPipe:
             extent *= 2.0 ** (5 * self.aniso_std)
         if self.rotate:
             extent *= np.sqrt(2.0)
+        # G_inv applies the xfrac inverse FIRST (rightmost factor in the
+        # composition at _sample_affine), so xfrac's translation is then
+        # amplified by the scale/rotate/aniso inverses (x extent); xint's
+        # inverse applies after all scalings and stays unscaled.
         translate = 0.0
         if self.xint:
             translate += self.xint_max * size
         if self.xfrac:
-            translate += 5 * self.xfrac_std * size
+            translate += 5 * self.xfrac_std * size * extent
         support = self.Hz_geom.shape[0]  # filter taps + bilinear slack
         margin = int(np.ceil(half * (extent - 1.0) + translate + support))
         return int(min(max(margin, support), size - 1))

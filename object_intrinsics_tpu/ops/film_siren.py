@@ -218,8 +218,7 @@ def fold_film(p: Params, style: jnp.ndarray):
     return w_g, b_g
 
 
-def apply_film_siren(p: Params, x: jnp.ndarray, style: jnp.ndarray,
-                     precision: str | None = None) -> jnp.ndarray:
+def apply_film_siren(p: Params, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
     """x: (bs, n, in_dim) or 2D (n, in_dim) with bs=1 style; style:
     (bs, style_dim) -> matching (bs, n, out_dim) / (n, out_dim).
 
@@ -229,11 +228,11 @@ def apply_film_siren(p: Params, x: jnp.ndarray, style: jnp.ndarray,
     directions (profiler, r3)."""
     w_g, b_g = fold_film(p, style)
     if x.ndim == 2:
-        phase = jnp.matmul(x, w_g[0], precision=precision or MATMUL_PRECISION) + b_g[0]
+        phase = jnp.matmul(x, w_g[0], precision=MATMUL_PRECISION) + b_g[0]
         if _PHASE_CHECK and FAST_SIN:
             phase = _phase_guard(phase)
         return fast_sin(phase)
-    h = jnp.einsum("bni,bio->bno", x, w_g, precision=precision or MATMUL_PRECISION)
+    h = jnp.einsum("bni,bio->bno", x, w_g, precision=MATMUL_PRECISION)
     phase = h + b_g[:, None, :]
     if _PHASE_CHECK and FAST_SIN:
         # DEBUG=1: fail loudly if trained gammas push phases outside the

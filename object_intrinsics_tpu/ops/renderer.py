@@ -124,11 +124,14 @@ def cat_z_vals(
     sort is a rank one-hot contraction (see _rank_onehot)."""
     merged = jnp.concatenate([z_vals, new_z_vals], axis=-1)
     onehot = _rank_onehot(merged)
-    z_sorted = jnp.einsum("...ik,...i->...k", onehot, merged)
+    # explicit select+reduce (not einsum): guarantees an exact elementwise
+    # VPU lowering — a dot_general at default TPU precision would round the
+    # depths to bf16
+    z_sorted = jnp.sum(onehot * merged[..., :, None], axis=-2)
     if sdf is None:
         return z_sorted, None
     sdf_merged = jnp.concatenate([sdf, new_sdf], axis=-1)
-    sdf_sorted = jnp.einsum("...ik,...i->...k", onehot, sdf_merged)
+    sdf_sorted = jnp.sum(onehot * sdf_merged[..., :, None], axis=-2)
     return z_sorted, sdf_sorted
 
 

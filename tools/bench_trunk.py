@@ -60,7 +60,7 @@ def split_bf16(a):
 def make_trunk_fn(variant: str):
     """Returns trunk(params, pts, w) -> (sdf, feat) for a matmul variant."""
 
-    def film_matmul(x, w_g, b_g, precision=None, mode="high"):
+    def film_matmul(x, w_g, b_g, mode="high"):
         # x: (bs, n, i), w_g: (bs, i, o), b_g: (bs, o)
         if mode in ("high", "default", "highest"):
             h = jnp.einsum("bni,bio->bno", x, w_g, precision=mode)
@@ -147,7 +147,6 @@ def main():
     _, n_ref, _ = g_ref(params, pts, w)
     n_ref_u = n_ref / (jnp.linalg.norm(n_ref, axis=-1, keepdims=True) + 1e-12)
 
-    rows = []
     for variant in ["high", "default", "split_w", "split_x", "graded1", "graded2", "graded3"]:
         trunk = make_trunk_fn(variant)
         f_fwd = jax.jit(trunk)
@@ -160,7 +159,6 @@ def main():
         err_ang = float(jnp.max(jnp.arccos(cos))) * 180 / np.pi
         t_fwd = timed(f_fwd, params, pts, w, iters=args.iters)
         t_grad = timed(f_grad, params, pts, w, iters=args.iters)
-        rows.append((variant, t_fwd, t_grad, err_sdf, err_ang))
         print(f"{variant:9s} fwd {t_fwd:7.2f} ms  grad {t_grad:7.2f} ms  "
               f"|sdf err| {err_sdf:.2e}  normal err {err_ang:.3f} deg")
 

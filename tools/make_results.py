@@ -95,9 +95,12 @@ def main():
         "  checkpoint 39k→40k, then 40k→100k (round 3) — final checkpoint",
         "  `model.npz` / `model.oipk` at **it=100001** (`checkpoints/model.npz.json`).",
         "- **Galleries** (each `index.html` prints checkpoint + render settings):",
-        f"  raw weights under `{args.ours}`; EMA 0.99 under `{args.ours_ema}` —",
-        "  the EMA render loads through the **native `.oipk` checkpoint pack**",
-        "  (mmap read path; the gallery's provenance line records `model.oipk`).",
+        f"  raw weights under `{args.ours}`"
+        + (f"; EMA 0.99 under `{args.ours_ema}` —" if args.ours_ema else "."),
+        *([
+            "  the EMA render loads through the **native `.oipk` checkpoint pack**",
+            "  (mmap read path; the gallery's provenance line records `model.oipk`).",
+        ] if args.ours_ema else []),
         "  Camera walk 128 frames, latent walk 256 frames, depth_multiplier 16,",
         "  1024 rays/tile chunked eval.",
         f"- **Reference row**: `{args.ref}/row000000_c0{{0,1,2}}.gif`, the GIFs",
