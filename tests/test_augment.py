@@ -122,3 +122,50 @@ def test_inner_gradient_consistent_inside_double_grad():
 
     _, gx_composed = jax.jit(reg_and_gx)(x)
     assert np.allclose(np.asarray(gx_direct), np.asarray(gx_composed), atol=1e-6)
+
+
+def test_static_margin_bounds():
+    """The 5-sigma static apron: shipped config gets the measured 92 px;
+    amplified-translation configs (xfrac composes inside the scale inverse)
+    bound out at the reference's clamp ceiling; overrides behave."""
+    from object_intrinsics_tpu.models import augment as aug_mod
+    from object_intrinsics_tpu.models.augment import AugmentPipe
+
+    assert AugmentPipe(scale=1, xint=1, p=1)._static_margin(128) == 92
+    # xfrac's 5-sigma translate (80 px) alone fits; with scale it is
+    # amplified by the extent and must hit the ceiling
+    assert AugmentPipe(xfrac=1, p=1)._static_margin(128) == 92
+    assert AugmentPipe(scale=1, xfrac=1, p=1)._static_margin(128) == 127
+    assert AugmentPipe(scale=1, xint=1, rotate=1, aniso=1, p=1)._static_margin(128) == 127
+    # identity pipe still keeps the filter-support apron
+    assert AugmentPipe(p=1)._static_margin(128) == 12
+
+    old = aug_mod._AUG_MARGIN
+    try:
+        aug_mod._AUG_MARGIN = "exact"
+        assert AugmentPipe(scale=1, xint=1, p=1)._static_margin(128) == 127
+        aug_mod._AUG_MARGIN = "40"
+        assert AugmentPipe(scale=1, xint=1, p=1)._static_margin(128) == 40
+    finally:
+        aug_mod._AUG_MARGIN = old
+
+
+def test_margin_covers_typical_draws_exactly():
+    """Content parity: a typical draw warps identically under the 5-sigma
+    apron and the exact ceiling (the apron only matters past 5 sigma)."""
+    from object_intrinsics_tpu.models import augment as aug_mod
+    from object_intrinsics_tpu.models.augment import AugmentPipe
+
+    pipe = AugmentPipe(scale=1, xint=1, p=1)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 64, 64, 3))
+    old = aug_mod._AUG_MARGIN
+    try:
+        aug_mod._AUG_MARGIN = ""
+        y_bound = pipe(jax.random.PRNGKey(7), x)
+        aug_mod._AUG_MARGIN = "exact"
+        y_exact = pipe(jax.random.PRNGKey(7), x)
+    finally:
+        aug_mod._AUG_MARGIN = old
+    # the two aprons imply different normalization constants (2/in_w), so
+    # agreement is to float32 grid-coordinate rounding (~1e-5), not bitwise
+    np.testing.assert_allclose(np.asarray(y_bound), np.asarray(y_exact), atol=1e-4)
