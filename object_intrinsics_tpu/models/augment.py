@@ -214,7 +214,10 @@ class AugmentPipe:
         if _AUG_MARGIN == "exact":
             return size - 1
         if _AUG_MARGIN:
-            return min(int(_AUG_MARGIN), size - 1)
+            # floor at the filter support like the default path below: an
+            # override below the sym6 taps + bilinear slack would under-pad
+            # the reflect apron for EVERY sample, not just the >5-sigma tail
+            return int(min(max(int(_AUG_MARGIN), self.Hz_geom.shape[0]), size - 1))
         half = size / 2.0
         extent = 1.0
         if self.scale:

@@ -149,6 +149,94 @@ def color_forward(params: Params, feat: jnp.ndarray, normals: jnp.ndarray, w: jn
 
 
 # --------------------------------------------------------------------------
+# Background NeRF (n_outside > 0): unconditional density/color field over
+# inverted-sphere coordinates — the NeRF++ outer model
+# --------------------------------------------------------------------------
+
+def positional_encoding(x: jnp.ndarray, num_freqs: int) -> jnp.ndarray:
+    """NeRF positional encoding (neus/models/embedder.py:12-51): include the
+    input, log-sampled frequencies 2^0..2^(num_freqs-1), [sin, cos] per
+    frequency — layout [x, sin(f0 x), cos(f0 x), sin(f1 x), ...]."""
+    parts = [x]
+    for i in range(num_freqs):
+        f = float(2.0**i)
+        parts.append(jnp.sin(x * f))
+        parts.append(jnp.cos(x * f))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _torch_linear_init(key, d_in: int, d_out: int) -> Params:
+    """nn.Linear default init: kaiming-uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))
+    for the weight, U(+-1/sqrt(fan_in)) for the bias."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(d_in)
+    return {
+        "w": jax.random.uniform(kw, (d_in, d_out), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(kb, (d_out,), jnp.float32, -bound, bound),
+    }
+
+
+def init_nerf(
+    key,
+    D: int = 8,
+    W: int = 256,
+    d_in: int = 4,
+    d_in_view: int = 3,
+    multires: int = 10,
+    multires_view: int = 4,
+    skips=(4,),
+) -> Params:
+    """Background NeRF MLP (neus/models/fields.py:181-232, use_viewdirs=True):
+    D relu layers with a skip concat after layer ``skips``, then alpha head,
+    feature->view branch, rgb head. d_in=4 for the inverted-sphere (x/r, 1/r)
+    input the n_outside path feeds (renderer.py:112-113)."""
+    input_ch = d_in * (1 + 2 * multires)
+    input_ch_view = d_in_view * (1 + 2 * multires_view)
+    keys = jax.random.split(key, D + 4)
+    pts_linears = [_torch_linear_init(keys[0], input_ch, W)]
+    for i in range(D - 1):
+        d = W + input_ch if i in skips else W
+        pts_linears.append(_torch_linear_init(keys[i + 1], d, W))
+    return {
+        "pts_linears": pts_linears,
+        "feature_linear": _torch_linear_init(keys[D], W, W),
+        "alpha_linear": _torch_linear_init(keys[D + 1], W, 1),
+        "views_linear": _torch_linear_init(keys[D + 2], input_ch_view + W, W // 2),
+        "rgb_linear": _torch_linear_init(keys[D + 3], W // 2, 3),
+    }
+
+
+def nerf_forward(
+    params: Params,
+    pts: jnp.ndarray,
+    dirs: jnp.ndarray,
+    multires: int = 10,
+    multires_view: int = 4,
+    skips=(4,),
+):
+    """pts: (bs, n, d_in) inverted-sphere coords, dirs: (bs, n, 3) ->
+    (density (bs, n, 1), color (bs, n, 3)).
+
+    Matches NeRF.forward with use_viewdirs=True (neus/models/fields.py:235-258):
+    both heads return RAW values — the caller applies softplus to the density
+    and uses the rgb untransformed, exactly like render_core_outside
+    (renderer.py:120-124, which applies no sigmoid)."""
+    emb = positional_encoding(pts, multires)
+    emb_view = positional_encoding(dirs, multires_view)
+    h = emb
+    for i, p in enumerate(params["pts_linears"]):
+        h = jax.nn.relu(fs.apply_linear(p, h))
+        if i in skips:
+            h = jnp.concatenate([emb, h], axis=-1)
+    density = fs.apply_linear(params["alpha_linear"], h)
+    feat = fs.apply_linear(params["feature_linear"], h)
+    h = jnp.concatenate([feat, emb_view], axis=-1)
+    h = jax.nn.relu(fs.apply_linear(params["views_linear"], h))
+    color = fs.apply_linear(params["rgb_linear"], h)
+    return density, color
+
+
+# --------------------------------------------------------------------------
 # Deviation network: single global NeuS variance
 # --------------------------------------------------------------------------
 

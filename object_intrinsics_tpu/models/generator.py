@@ -25,9 +25,12 @@ import numpy as np
 
 from ..ops.renderer import FieldFns, RendererConfig, render as neus_render
 
-# OI_REMAT=1: rematerialize the differentiated field evaluation (see
-# Generator._field_fns) — fits bs>=4 per chip at ~one extra trunk forward.
-REMAT = __import__("os").environ.get("OI_REMAT", "0") == "1"
+# Rematerialized field evaluation (see Generator._field_fns) — fits bs>=4
+# per chip at ~one extra trunk forward. Three ways on, by precedence:
+# OI_REMAT env var (1/0, overrides everything), training.remat config key
+# (plumbed through utils.train_setup.build_modules), or the trainer's
+# OOM-at-compile auto-fallback.
+_REMAT_ENV = __import__("os").environ.get("OI_REMAT")
 from ..utils.config import build_from_config, register_target
 from ..utils.pose import invert_rot_t
 from . import fields, lighting
@@ -89,6 +92,7 @@ class Generator:
         renderer: dict,
         anneal_end: int,
         pose_prior: dict,
+        nerf: Optional[dict] = None,
     ):
         # (A fused Pallas trunk kernel was evaluated through r3 and removed:
         # the trunk is VPU-sin-bound, so the kernel tied XLA on the forward
@@ -106,22 +110,46 @@ class Generator:
         self.sdf_kwargs = dict(sdf_network.get("kwargs", {}) or {})
         self.color_kwargs = dict(color_network.get("kwargs", {}) or {})
         self.deviation_kwargs = dict(deviation_network.get("kwargs", {}) or {})
+        # background NeRF for n_outside > 0 (reference Generator accepts the
+        # same slot and always receives None, src/models/generator.py:53)
+        self.nerf_kwargs = dict((nerf or {}).get("kwargs", {}) or {})
+        if self.rcfg.n_outside > 0:
+            # static arch params the forward closure needs (not in the pytree)
+            self._nerf_multires = int(self.nerf_kwargs.get("multires", 10))
+            self._nerf_multires_view = int(self.nerf_kwargs.get("multires_view", 4))
+            self._nerf_skips = tuple(self.nerf_kwargs.get("skips", (4,)))
 
         # constants (host numpy, captured as jnp on first trace)
         self._intrinsics_inv = self.camera.intrinsics_inv
         self._c2w = self.camera.c2w
         self._w2c = self.camera.w2c
 
+        # remat default; build_modules overrides from training.remat, the
+        # trainer's OOM fallback may flip it, OI_REMAT env wins over both
+        self.remat = False
+
+    @property
+    def remat_active(self) -> bool:
+        if _REMAT_ENV is not None:
+            return _REMAT_ENV == "1"
+        return bool(self.remat)
+
     # ------------------------------------------------------------------ init
 
     def init(self, key: jax.Array) -> Params:
+        # split(2) + fold_in keeps the n_outside=0 init stream bit-identical
+        # to releases that predate the background NeRF
         k_sdf, k_color = jax.random.split(key)
-        return {
+        k_nerf = jax.random.fold_in(key, 2)
+        params = {
             "sdf_network": fields.init_shape_network(k_sdf, **self.sdf_kwargs),
             "color_network": fields.init_color_network(k_color, **self.color_kwargs),
             "deviation_network": fields.init_deviation_network(**self.deviation_kwargs),
             "light": lighting.init_light(**self.light_init_kwargs),
         }
+        if self.rcfg.n_outside > 0:
+            params["nerf"] = fields.init_nerf(k_nerf, **self.nerf_kwargs)
+        return params
 
     # ------------------------------------------------------------- sampling
 
@@ -184,19 +212,20 @@ class Generator:
         path stays pure-JAX so jax.grad can differentiate the generator
         loss through the fine pass.
 
-        OI_REMAT=1 wraps the differentiated field evaluation in
-        ``jax.checkpoint``: the trunk's per-layer activations (the dominant
-        HBM cost of the fused step — ~5 GB per batch sample at the flagship
-        shapes, capping bs/chip at 2) are recomputed in the backward pass
-        instead of stored, trading ~one extra trunk forward for the memory
-        to fit bs>=4 per chip. No effect on no-grad renders."""
+        remat (training.remat / OI_REMAT=1 / trainer OOM fallback) wraps the
+        differentiated field evaluation in ``jax.checkpoint``: the trunk's
+        per-layer activations (the dominant HBM cost of the fused step —
+        ~5 GB per batch sample at the flagship shapes, capping bs/chip at 2)
+        are recomputed in the backward pass instead of stored, trading ~one
+        extra trunk forward for the memory to fit bs>=4 per chip. No effect
+        on no-grad renders."""
         sdf_p = params["sdf_network"]
         color_p = params["color_network"]
 
         def coarse_sdf(pts):
             return fields.shape_sdf(sdf_p, pts, w)
 
-        if REMAT and not fast:
+        if self.remat_active and not fast:
             fine_eval = jax.checkpoint(fields.shape_sdf_grad)
 
             def sdf_grad(pts):
@@ -206,11 +235,24 @@ class Generator:
             def sdf_grad(pts):
                 return fields.shape_sdf_grad(sdf_p, pts, w)
 
+        nerf_fn = None
+        if self.rcfg.n_outside > 0:
+            nerf_p = params["nerf"]
+
+            def nerf_fn(pts4, dirs):
+                return fields.nerf_forward(
+                    nerf_p, pts4, dirs,
+                    multires=self._nerf_multires,
+                    multires_view=self._nerf_multires_view,
+                    skips=self._nerf_skips,
+                )
+
         return FieldFns(
             sdf=coarse_sdf,
             sdf_grad=sdf_grad,
             color=lambda feat, normals: fields.color_forward(color_p, feat, normals, w),
             inv_s=fields.deviation_inv_s(params["deviation_network"]),
+            nerf=nerf_fn,
         )
 
     def render(
@@ -268,8 +310,17 @@ class Generator:
         bs = render_out["weights"].shape[0]
         h = w_ = self.resolution
 
-        weights = render_out["weights"]  # (bs, R, S)
+        weights = render_out["weights"]  # (bs, R, S [+ n_outside])
         weight_sum = render_out["weight_sum"]  # (bs, R, 1)
+
+        # with a background NeRF the renderer's weights span the inside +
+        # outside samples and saturate toward 1: use the object-only
+        # transmittance for the mask, the per-point light decomposition, and
+        # the uniform-background composite. The full-depth blended color
+        # lives in color_map (render_out["color_fine"]).
+        if "weights_inside" in render_out:
+            weights = render_out["weights_inside"]
+            weight_sum = jnp.sum(weights, axis=-1, keepdims=True)
 
         def rays_to_map(x):  # (bs, R, c) -> (bs, h, w, c)
             return x.reshape(bs, h, w_, x.shape[-1])

@@ -17,8 +17,10 @@ Python chunk loop (the reference's MAX_RAY_BATCH_SIZE serial chunking,
 src/models/generator.py:286-305, is unnecessary on TPU where the ray batch
 is tiled by XLA/Pallas instead).
 
-The background NeRF path (render_core_outside, renderer.py:98-135) is dead in
-the reference config (n_outside = 0) and intentionally not carried over.
+The background NeRF path (render_core_outside, renderer.py:98-135) is carried
+behind ``RendererConfig.n_outside`` + ``FieldFns.nerf`` even though it is dead
+under every shipped reference config (configs/train.yaml n_outside: 0, and the
+reference Generator always passes nerf=None, src/models/generator.py:53).
 """
 from __future__ import annotations
 
@@ -47,6 +49,10 @@ class FieldFns(NamedTuple):
     sdf_grad: Callable[[jnp.ndarray], tuple]  # -> (sdf, grad, feat)
     color: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]  # (feat, normals) -> rgb
     inv_s: jnp.ndarray  # scalar
+    # background NeRF (n_outside > 0 only): (pts4, dirs) -> (density, color),
+    # both RAW heads (softplus/no-sigmoid applied in render_core_outside,
+    # matching neus/models/renderer.py:120-124)
+    nerf: Optional[Callable] = None
 
 
 def _exclusive_cumprod_transmittance(alpha: jnp.ndarray) -> jnp.ndarray:
@@ -102,7 +108,14 @@ def _rank_onehot(v: jnp.ndarray) -> jnp.ndarray:
     — the most expensive single fusion in the train step), while the n^2
     compare + one-hot contraction is pure VPU work that XLA fuses into the
     downstream reduce. Ranks tie-break by original index, exactly matching
-    a stable argsort of the concatenated array."""
+    a stable argsort of the concatenated array.
+
+    NaN caveat: all comparisons against NaN are False, so a NaN element
+    collides with a finite element on the same rank (one duplicated merged
+    sample, one dropped) — unlike argsort's defined NaNs-last order. A NaN
+    here already means a broken run (DEBUG=1's jax_debug_nans traps it);
+    in non-DEBUG runs the failure mode is silently-corrupted sample order
+    rather than a visibly propagating NaN."""
     n = v.shape[-1]
     idx = jnp.arange(n)
     j_before_i = idx[:, None] > idx[None, :]  # (i, j): j earlier than i
@@ -135,6 +148,48 @@ def cat_z_vals(
     return z_sorted, sdf_sorted
 
 
+def render_core_outside(
+    nerf: Callable,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    sample_dist: float,
+) -> Dict[str, jnp.ndarray]:
+    """Background NeRF render (renderer.py:98-135): NeRF++ inverted-sphere
+    reparameterization (x/|x|, 1/|x|) clipped at the unit sphere, softplus
+    density -> alpha over section lengths, exclusive-cumprod transmittance.
+
+    rays (bs, R, 3); z_vals (bs, R, S) — here S spans the merged inside +
+    outside depths (render() feeds cat(z_inside, z_outside))."""
+    bs, R, S = z_vals.shape
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], sample_dist)], axis=-1
+    )
+    mid_z_vals = z_vals + dists * 0.5
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * mid_z_vals[..., :, None]
+    dis_to_center = jnp.clip(
+        jnp.linalg.norm(pts, axis=-1, keepdims=True), 1.0, 1e10
+    )
+    pts4 = jnp.concatenate([pts / dis_to_center, 1.0 / dis_to_center], axis=-1)
+    dirs = jnp.broadcast_to(rays_d[..., None, :], pts.shape)
+
+    density, sampled_color = nerf(
+        pts4.reshape(bs, R * S, 4), dirs.reshape(bs, R * S, 3)
+    )
+    density = density.reshape(bs, R, S)
+    sampled_color = sampled_color.reshape(bs, R, S, 3)
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(density) * dists)
+    weights = _exclusive_cumprod_transmittance(alpha)
+    color = jnp.sum(weights[..., None] * sampled_color, axis=-2)
+    return {
+        "color": color,
+        "sampled_color": sampled_color,
+        "alpha": alpha,
+        "weights": weights,
+    }
+
+
 def render_core(
     fns: FieldFns,
     rays_o: jnp.ndarray,
@@ -142,9 +197,20 @@ def render_core(
     z_vals: jnp.ndarray,
     sample_dist: float,
     cos_anneal_ratio: jnp.ndarray,
+    background_alpha: Optional[jnp.ndarray] = None,
+    background_sampled_color: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Evaluate SDF/normals/albedo at section midpoints and composite with
-    NeuS alphas (renderer.py:199-349). Shapes: rays (bs, R, 3), z (bs, R, S)."""
+    NeuS alphas (renderer.py:199-349). Shapes: rays (bs, R, 3), z (bs, R, S).
+
+    With a background model (renderer.py:294-300): inside-sphere alphas and
+    colors blend with the background's at the S inside samples, then the
+    outside samples' background alphas/colors append — weights / weight_sum /
+    color span S + n_outside. Per-point outputs (sdf, gradients, raw_color,
+    pts, mid_z_vals) stay inside-only — a deliberate divergence from the
+    reference, whose post-blend raw_color would break the generator's
+    per-point light decomposition (that path is unreachable there: nerf is
+    always None, src/models/generator.py:53)."""
     bs, R, S = z_vals.shape
 
     dists = z_vals[..., 1:] - z_vals[..., :-1]
@@ -187,10 +253,25 @@ def render_core(
     inside_sphere = jax.lax.stop_gradient((pts_norm < 1.0).astype(sdf.dtype))
     relax_inside_sphere = jax.lax.stop_gradient((pts_norm < 1.2).astype(sdf.dtype))
 
+    sampled_color_full = sampled_color
+    alpha_inside = alpha
+    if background_alpha is not None:
+        # blend with the background at the S inside samples, append the
+        # n_outside tail (renderer.py:294-300)
+        alpha = alpha * inside_sphere + background_alpha[..., :S] * (1.0 - inside_sphere)
+        alpha = jnp.concatenate([alpha, background_alpha[..., S:]], axis=-1)
+        sampled_color_full = (
+            sampled_color * inside_sphere[..., None]
+            + background_sampled_color[..., :S, :] * (1.0 - inside_sphere[..., None])
+        )
+        sampled_color_full = jnp.concatenate(
+            [sampled_color_full, background_sampled_color[..., S:, :]], axis=-2
+        )
+
     weights = _exclusive_cumprod_transmittance(alpha)
     weights_sum = jnp.sum(weights, axis=-1, keepdims=True)
 
-    color = jnp.sum(sampled_color * weights[..., None], axis=-2)
+    color = jnp.sum(sampled_color_full * weights[..., None], axis=-2)
 
     grad_norm = jnp.linalg.norm(gradients, axis=-1)
     gradient_error = (grad_norm - 1.0) ** 2
@@ -198,7 +279,7 @@ def render_core(
         jnp.sum(relax_inside_sphere) + 1e-5
     )
 
-    return {
+    ret = {
         "sdf": sdf,
         "dists": dists,
         "gradients": gradients,
@@ -216,6 +297,12 @@ def render_core(
         "color": color,
         "raw_color": sampled_color,
     }
+    if background_alpha is not None:
+        # object-only transmittance — identical to the n_outside=0 weights;
+        # the generator's mask and per-point light decomposition use this
+        # instead of the background-saturated full weights
+        ret["weights_inside"] = _exclusive_cumprod_transmittance(alpha_inside)
+    return ret
 
 
 def render(
@@ -241,10 +328,37 @@ def render(
     t = jnp.linspace(0.0, 1.0, S, dtype=rays_o.dtype)
     z_vals = near + (far - near) * t  # (bs, R, S)
 
+    key_in = key
+    if rcfg.n_outside > 0 and key is not None:
+        # split only on the background path so n_outside=0 RNG streams stay
+        # bit-identical to previous releases
+        key_in, key_out = jax.random.split(key)
+
     if perturb and rcfg.perturb > 0:
         assert key is not None
-        t_rand = jax.random.uniform(key, (bs, R, 1), dtype=z_vals.dtype) - 0.5
+        t_rand = jax.random.uniform(key_in, (bs, R, 1), dtype=z_vals.dtype) - 0.5
         z_vals = z_vals + t_rand * 2.0 / S
+
+    z_vals_outside = None
+    if rcfg.n_outside > 0:
+        # outside depth grid (renderer.py:362-382): uniform in (1e-3,
+        # 1 - 1/(n+1)], optionally stratified-jittered per ray, then mapped
+        # through the inverted-sphere reparameterization far/flip(t) + 1/S
+        zo = jnp.linspace(
+            1e-3, 1.0 - 1.0 / (rcfg.n_outside + 1.0), rcfg.n_outside,
+            dtype=rays_o.dtype,
+        )
+        if perturb and rcfg.perturb > 0:
+            mids = 0.5 * (zo[..., 1:] + zo[..., :-1])
+            upper = jnp.concatenate([mids, zo[..., -1:]], axis=-1)
+            lower = jnp.concatenate([zo[..., :1], mids], axis=-1)
+            t_rand = jax.random.uniform(
+                key_out, (bs, R, rcfg.n_outside), dtype=rays_o.dtype
+            )
+            zo = lower + (upper - lower) * t_rand
+        else:
+            zo = jnp.broadcast_to(zo, (bs, R, rcfg.n_outside))
+        z_vals_outside = far / jnp.flip(zo, axis=-1) + 1.0 / S
 
     if rcfg.n_importance > 0:
         # coarse pass: no gradients flow (reference runs it under no_grad)
@@ -272,10 +386,34 @@ def render(
             else:
                 z_vals, _ = cat_z_vals(z_vals, new_z, None, None)
 
-    core = render_core(fns, rays_o, rays_d, z_vals, sample_dist, cos_anneal_ratio)
+    background_alpha = background_sampled_color = None
+    if rcfg.n_outside > 0:
+        assert fns.nerf is not None, "n_outside > 0 requires FieldFns.nerf"
+        # the reference sorts cat(z_vals, z_vals_outside) (renderer.py:419-420)
+        # but the concatenation is already ordered: every outside depth is
+        # >= far*(n+1)/n + 1/S, every inside depth <= far + 1/S (perturb adds
+        # at most t_rand*2/S <= 1/S), so the sort is an identity and is
+        # elided here (static shapes, no gather)
+        z_vals_feed = jnp.concatenate([z_vals, z_vals_outside], axis=-1)
+        ret_outside = render_core_outside(
+            fns.nerf, rays_o, rays_d, z_vals_feed, sample_dist
+        )
+        background_alpha = ret_outside["alpha"]
+        background_sampled_color = ret_outside["sampled_color"]
+
+    core = render_core(
+        fns, rays_o, rays_d, z_vals, sample_dist, cos_anneal_ratio,
+        background_alpha=background_alpha,
+        background_sampled_color=background_sampled_color,
+    )
 
     weights = core["weights"]
+    extra = (
+        {"weights_inside": core["weights_inside"]}
+        if "weights_inside" in core else {}
+    )
     return {
+        **extra,
         "color_fine": core["color"],
         "raw_color": core["raw_color"],
         "s_val": jnp.mean(core["s_val"] * jnp.ones((bs, R, 1), dtype=rays_o.dtype), axis=-1, keepdims=True),

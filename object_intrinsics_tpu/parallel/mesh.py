@@ -8,7 +8,9 @@ with
   * the batch sharded over the 'data' axis (the DistributedSampler analog),
   * params / optimizer state / EMA replicated,
   * per-chip RNG (fold_in of the axis index — the per-rank-seed analog),
-  * gradients mean-reduced with lax.pmean over ICI (the DDP allreduce).
+  * gradients mean-reduced over ICI (the DDP allreduce): the psum is the
+    implicit pvary-transpose jax inserts for grads of replicated params,
+    completed by the 1/axis_size scale in ``pmean_grads``.
 
 ``consistency_check`` is the check_ddp_consistency analog (tu/ddp.py:215-225):
 it fingerprints the replicated state per chip and verifies all chips agree —
@@ -50,7 +52,19 @@ def make_mesh(n_devices: int = -1) -> Mesh:
 
 
 def pmean_grads(grads):
-    return jax.tree.map(lambda g: jax.lax.pmean(g, DATA_AXIS), grads)
+    """Mean-reduce gradients over the data axis (the DDP allreduce).
+
+    Under jax>=0.9 shard_map VMA semantics, ``jax.grad`` w.r.t. replicated
+    (unvarying) params ALREADY returns the cross-chip psum: params enter the
+    varying per-chip loss through an implicit ``pvary`` broadcast whose
+    transpose is a psum. The per-chip gradient is therefore sum_i g_i, and
+    the DDP mean is g / axis_size. The previous ``lax.pmean`` here was an
+    identity on that already-replicated sum — every >=2-device run scaled
+    the effective lr by the mesh size (caught by
+    tests/test_ddp_equivalence.py, which pins grads against a single-device
+    global-batch step)."""
+    n = jax.lax.axis_size(DATA_AXIS)
+    return jax.tree.map(lambda g: g / n, grads)
 
 
 def data_parallel_step(step: Callable, mesh: Mesh):

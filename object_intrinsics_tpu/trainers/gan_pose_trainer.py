@@ -118,13 +118,19 @@ class Trainer:
     def it(self) -> int:
         return self._it_host
 
-    def _make_step_body(self, bs: int):
+    def _make_step_body(self, bs: int, return_grads: bool = False):
         """The raw one-step function ``step(state, batch, key, grad_sync)``.
 
         Used directly by ``_build_step`` (one dispatch per step) and under
         ``lax.scan`` by ``_build_multi_step`` (K steps per dispatch — the
         per-step host/tunnel dispatch cost is the single-chip throughput
-        bottleneck at this model size, see docs/DESIGN.md)."""
+        bottleneck at this model size, see docs/DESIGN.md).
+
+        ``return_grads=True`` adds the (grad_sync'd) per-player gradient
+        trees to the returned stats under "grads" — test-only hook for the
+        DDP-equals-large-batch equivalence check, where gradients are the
+        invariant (optimizer updates amplify reduction-order rounding
+        through Adam/RMSprop normalization at |g| ~ rounding noise)."""
         gen = self.generator
         disc = self.discriminator
         mask_disc = self.mask_discriminator
@@ -139,6 +145,14 @@ class Trainer:
             x_real = batch["image"]
             mask_real = batch["mask"]
             bs_ = x_real.shape[0]
+            # test hook: batch keys prefixed gen_ pin the generator's
+            # stochastic inputs (b2w/z/bg_color — see Generator.sample_*);
+            # the DDP-equals-large-batch equivalence test feeds pinned values
+            # through the batch so they shard with it. Empty in training.
+            gen_data = {k[4:]: batch[k] for k in batch if k.startswith("gen_")}
+            gen_data2 = jax.tree.map(
+                lambda v: jnp.concatenate([v, v], axis=0), gen_data
+            )
 
             keys = jax.random.split(key, 10)
             (k_g, k_g_aug1, k_g_aug2, k_d_render, k_d_aug_r, k_d_aug_f,
@@ -148,7 +162,7 @@ class Trainer:
 
             # ------------------------------------------------ generator step
             def g_loss_fn(g_params):
-                out = gen.forward(g_params, k_g, bs_, it, {}, train=True)["box"]
+                out = gen.forward(g_params, k_g, bs_, it, gen_data, train=True)["box"]
                 stats = {}
                 x_fake = out["render_out"]["image"]
                 d_fake = disc.apply(params["discriminator"], x_fake, k_g_aug1)[:, :1]
@@ -181,7 +195,7 @@ class Trainer:
             # ------------------------- discriminator step (image + aux pose)
             sg = jax.lax.stop_gradient
             if self.share_fake_render:
-                out_d = gen.forward(g_params_new, k_d_render, bs_, it, {}, train=True, fast=True)["box"]
+                out_d = gen.forward(g_params_new, k_d_render, bs_, it, gen_data, train=True, fast=True)["box"]
                 x_fake_d = sg(out_d["render_out"]["image"])
                 c2b = sg(out_d["prior_info"]["c2b"])
                 m_fake = sg(out_d["render_out"]["mask"])
@@ -191,7 +205,7 @@ class Trainer:
                 # bs=2*bs batched render: identical iid (pose, z, bg) samples,
                 # but half the fixed per-render overhead of two programs.
                 out_dm = gen.forward(
-                    g_params_new, k_d_render, 2 * bs_, it, {}, train=True, fast=True
+                    g_params_new, k_d_render, 2 * bs_, it, gen_data2, train=True, fast=True
                 )["box"]
                 x_fake_d = sg(out_dm["render_out"]["image"][:bs_])
                 c2b = sg(out_dm["prior_info"]["c2b"][:bs_])
@@ -276,15 +290,27 @@ class Trainer:
                 if sched is not None:
                     ret[f"lr/opt_{k}"] = jnp.asarray(sched(it), dtype=jnp.float32)
 
+            if return_grads:
+                ret["grads"] = {
+                    "generator": g_grads,
+                    "discriminator": d_grads,
+                    "mask_discriminator": md_grads,
+                }
             ret["param_norm/discriminator"] = tree_util.global_norm(d_params_new)
             ret["param_norm/mask_discriminator"] = tree_util.global_norm(md_params_new)
             ret["param_norm/generator"] = tree_util.global_norm(g_params_new)
 
             # --------------------------------------------------------- EMAs
-            new_ema = {
-                "ema@0.99": tree_util.ema_update(g_params_new, state["ema"]["ema@0.99"], 0.99),
-                "ema@0.9": tree_util.ema_update(g_params_new, state["ema"]["ema@0.9"], 0.9),
-            }
+            # the reference skips EMA updates entirely under DEBUG=1
+            # (gan_pose_trainer.py:269-272); mirrored here as a trace-time
+            # constant so DEBUG runs stay comparable
+            if os.environ.get("DEBUG") == "1":
+                new_ema = state["ema"]
+            else:
+                new_ema = {
+                    "ema@0.99": tree_util.ema_update(g_params_new, state["ema"]["ema@0.99"], 0.99),
+                    "ema@0.9": tree_util.ema_update(g_params_new, state["ema"]["ema@0.9"], 0.9),
+                }
 
             new_state = {
                 "params": {
@@ -344,21 +370,60 @@ class Trainer:
 
         return jax.jit(multi, donate_argnums=(0,))
 
-    def _get_step_fn(self, bs: int):
+    @staticmethod
+    def _is_oom(e: Exception) -> bool:
+        s = f"{type(e).__name__}: {e}"
+        return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s or "out of memory" in s
+
+    def _compile_step(self, build, example_args):
+        """AOT-compile a freshly built jitted step for ``example_args``.
+
+        TPU HBM planning is static, so an over-budget program fails AT
+        COMPILE (bs>=4/chip needs ~18.3 G vs 15.75 G available without
+        remat, docs/DESIGN.md scaling table). On that failure, flip the
+        generator to rematerialized field evaluation (~3% step cost) and
+        rebuild — bs>=4 then trains out of the box instead of dying at the
+        first step. Explicit OI_REMAT=0 disables the fallback."""
+        fn = build()
+        try:
+            return fn.lower(*example_args).compile()
+        except Exception as e:  # noqa: BLE001 - backend-specific OOM types
+            can_retry = not self.generator.remat_active and __import__("os").environ.get(
+                "OI_REMAT"
+            ) != "0"
+            if not (self._is_oom(e) and can_retry):
+                raise
+            logger.warning(
+                "device OOM while compiling the train step (%s...); retrying "
+                "with rematerialized field evaluation (training.remat=1, "
+                "~3%% step cost — set it in the config to skip this recompile)",
+                str(e)[:200],
+            )
+            self.generator.remat = True
+            return build().lower(*example_args).compile()
+
+    def _get_step_fn(self, bs: int, example_args=None):
         if bs not in self._step_fn_cache:
-            self._step_fn_cache[bs] = self._build_step(bs)
+            self._step_fn_cache[bs] = self._compile_step(
+                lambda: self._build_step(bs), example_args
+            )
         return self._step_fn_cache[bs]
 
-    def _get_multi_fn(self, bs: int, k_steps: int):
+    def _get_multi_fn(self, bs: int, k_steps: int, example_args=None):
         key = (bs, k_steps)
         if key not in self._multi_fn_cache:
-            self._multi_fn_cache[key] = self._build_multi_step(bs, k_steps)
+            self._multi_fn_cache[key] = self._compile_step(
+                lambda: self._build_multi_step(bs, k_steps), example_args
+            )
         return self._multi_fn_cache[key]
 
     # ----------------------------------------------------------- public API
 
     def train_step(self, batch: Dict[str, np.ndarray], key: jax.Array) -> Dict[str, jnp.ndarray]:
-        batch = {"image": batch["image"], "mask": batch["mask"]}
+        batch = {
+            k: v for k, v in batch.items()
+            if k in ("image", "mask") or k.startswith("gen_")
+        }
         if self.mesh is not None and jax.process_count() > 1:
             # multi-controller SPMD: every process feeds its local slice of
             # the global batch; state is replicated across the global mesh
@@ -377,7 +442,7 @@ class Trainer:
         else:
             batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
             bs = batch_dev["image"].shape[0]
-        step_fn = self._get_step_fn(bs)
+        step_fn = self._get_step_fn(bs, example_args=(self.state, batch_dev, key))
         self.state, stats = step_fn(self.state, batch_dev, key)
         self._it_host += 1
         return stats
@@ -395,10 +460,12 @@ class Trainer:
         k_steps = len(batches)
         stacked = {
             k: jnp.asarray(np.stack([np.asarray(b[k]) for b in batches]))
-            for k in ("image", "mask")
+            for k in batches[0]
+            if k in ("image", "mask") or k.startswith("gen_")
         }
         bs = stacked["image"].shape[1]
-        fn = self._get_multi_fn(bs, k_steps)
+        fn = self._get_multi_fn(bs, k_steps,
+                                example_args=(self.state, stacked, root_key))
         self.state, stats = fn(self.state, stacked, root_key)
         self._it_host += k_steps
         return stats
@@ -481,6 +548,9 @@ class Trainer:
 
 
 def train_loops(
+    # eval_every and val_loader are accepted-and-dead in the reference too
+    # (gan_pose_trainer.py:266: the eval branch is never entered under the
+    # shipped configs); kept for config-schema parity
     eval_every: int,
     print_every: int,
     visualize_every: int,

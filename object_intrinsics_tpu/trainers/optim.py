@@ -97,6 +97,31 @@ def rmsprop(lr: float, alpha: float = 0.99, eps: float = 1e-8):
     return build
 
 
+@register_target("torch.optim.SGD", "object_intrinsics_tpu.trainers.optim.sgd")
+def sgd(lr: float, momentum: float = 0.0, weight_decay: float = 0.0):
+    """torch.optim.SGD (dampening=0, non-nesterov): buf = m*buf + g;
+    p -= lr*buf — optax.trace(decay=m) matches exactly. Unused by the
+    shipped reference configs but a valid ``__target__`` in their schema;
+    also the optimizer the DDP-equivalence test uses (no |g| normalization,
+    so updates inherit the gradients' tolerance instead of amplifying
+    rounding-scale sign flips)."""
+
+    def build(schedule=None):
+        chain = []
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+        if momentum:
+            chain.append(optax.trace(decay=momentum))
+        chain.append(optax.scale_by_learning_rate(schedule if schedule is not None else lr))
+        base = optax.chain(*chain)
+        return GradientTransformationWithLR(
+            base.init, base.update, schedule if schedule is not None else (lambda c: lr)
+        )
+
+    build.base_lr = lr
+    return build
+
+
 @register_target(
     "torch.optim.lr_scheduler.StepLR", "object_intrinsics_tpu.trainers.optim.StepLR"
 )

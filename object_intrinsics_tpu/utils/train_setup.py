@@ -196,6 +196,12 @@ def build_modules(cfg: Dict, seed: int) -> Dict:
     modules: Dict = {}
     for i, name in enumerate(["generator", "discriminator", "mask_discriminator"]):
         model = build_from_config(cfg["model"][name])
+        if name == "generator":
+            # training.remat: rematerialized field evaluation — fits
+            # bs>=4/chip within 16 G HBM at ~3% step cost (docs/DESIGN.md
+            # scaling table). OI_REMAT env overrides; the trainer also
+            # flips this automatically on a compile-time OOM.
+            model.remat = bool(cfg["training"].get("remat", False))
         params = model.init(jax.random.fold_in(key, i))
         tx = build_optimizer(
             cfg["training"][f"opt_{name}"], cfg["training"].get(f"sch_{name}")

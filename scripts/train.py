@@ -114,8 +114,13 @@ def main():
         epoch=epoch,
         seed=args.seed,
         # epoch boundaries for max_epoch termination (loader is an
-        # infinite stream; drop_last semantics match dataset.batches)
-        batches_per_epoch=len(dataset) // local_bs,
+        # infinite stream; drop_last semantics match dataset.batches).
+        # Divide by the GLOBAL batch: each loop iteration consumes one
+        # global batch across all processes, matching the reference's
+        # DistributedSampler len(dataset)//world_bs batches per epoch —
+        # dividing by local_bs would advance epochs process_count x too
+        # slowly under --multihost.
+        batches_per_epoch=len(dataset) // global_bs,
     )
 
 

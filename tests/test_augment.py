@@ -146,6 +146,10 @@ def test_static_margin_bounds():
         assert AugmentPipe(scale=1, xint=1, p=1)._static_margin(128) == 127
         aug_mod._AUG_MARGIN = "40"
         assert AugmentPipe(scale=1, xint=1, p=1)._static_margin(128) == 40
+        # explicit overrides are floored at the filter support (sym6 taps):
+        # a 2-px apron would under-pad EVERY sample, not just the 5-sigma tail
+        aug_mod._AUG_MARGIN = "2"
+        assert AugmentPipe(scale=1, xint=1, p=1)._static_margin(128) == 12
     finally:
         aug_mod._AUG_MARGIN = old
 

@@ -86,13 +86,12 @@ def test_forward_map_shapes_and_ranges(gen, params):
 
 
 def test_remat_gradients_match_stored(gen, params, monkeypatch):
-    """OI_REMAT recomputes the fine field evaluation in the backward pass;
-    the loss gradient must equal the stored-activation path (same math
-    graph; jax.checkpoint only changes WHEN things are computed)."""
-    from object_intrinsics_tpu.models import generator as gen_mod
+    """training.remat / OI_REMAT recomputes the fine field evaluation in the
+    backward pass; the loss gradient must equal the stored-activation path
+    (same math graph; jax.checkpoint only changes WHEN things are computed)."""
 
     def loss(p, remat):
-        monkeypatch.setattr(gen_mod, "REMAT", remat)
+        monkeypatch.setattr(gen, "remat", remat)
         out = gen.forward(p, jax.random.PRNGKey(3), 1, jnp.asarray(5), {}, train=True)
         box = out["box"]
         return jnp.mean(box["render_out"]["image"]) + box["loss"]["eikonal"]

@@ -292,3 +292,44 @@ def test_fast_sin_phase_guard_trips(monkeypatch):
     jax.grad(loss)(x)  # in-range: must not raise
     with pytest.raises(FloatingPointError, match="reduction range"):
         jax.block_until_ready(fs.apply_film_siren(p, x * 1e6, style))
+
+
+def test_resnet_block_matches_reference_torch():
+    """ResnetBlock (config-selectable, unused by shipped configs) vs the
+    reference torch module (src/models/discriminator.py:8-46) with copied
+    weights, plus torch-default init bounds."""
+    import os
+    import sys
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference missing")
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from src.models.discriminator import ResnetBlock as TorchBlock
+
+    from object_intrinsics_tpu.models.discriminator import ResnetBlock
+
+    blk = ResnetBlock(fin=8, fout=16, is_bias=True)
+    p = blk.init(jax.random.PRNGKey(0))
+    # torch-default kaiming-uniform bounds: U(+-1/sqrt(fan_in))
+    w0 = np.asarray(p["conv_0"]["w"])
+    assert np.abs(w0).max() <= 1.0 / np.sqrt(8 * 9) + 1e-6
+    assert "conv_s" in p  # learned shortcut when fin != fout
+
+    ref = TorchBlock(8, 16, is_bias=True)
+    with torch.no_grad():
+        for ours, theirs in [("conv_0", ref.conv_0), ("conv_1", ref.conv_1),
+                             ("conv_s", ref.conv_s)]:
+            theirs.weight.copy_(
+                torch.tensor(np.asarray(p[ours]["w"]).transpose(3, 2, 0, 1)))
+            if "b" in p[ours]:
+                theirs.bias.copy_(torch.tensor(np.asarray(p[ours]["b"])))
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 12, 12, 8).astype(np.float32)
+    ours_out = np.asarray(blk.apply(p, jnp.asarray(x)))
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(
+        ours_out, ref_out.transpose(0, 2, 3, 1), atol=2e-5)
