@@ -215,3 +215,39 @@ def build_modules(cfg: Dict, seed: int) -> Dict:
 
 def set_seed(seed: int) -> None:
     np.random.seed(seed)
+
+
+def open_tensorboard(log_dir: str):
+    """Launch a TensorBoard server over the run dir and kill it at exit
+    (reference tu/train_setup.py:78-86, called on rank 0 from
+    scripts/train.py:188 there). Opt out with OI_TB=0; skipped silently when
+    tensorboard isn't importable (no hard dependency). The launch is
+    fire-and-forget: in minimal images where the server can't boot the
+    child exits immediately and training proceeds unaffected."""
+    if os.environ.get("OI_TB", "1") == "0":
+        return None
+    import importlib.util
+    if importlib.util.find_spec("tensorboard") is None:
+        return None
+    import atexit
+    import signal
+    import subprocess
+    cmd = [sys.executable, "-m", "tensorboard.main", "--logdir", log_dir,
+           "--bind_all", "--reload_multifile", "True", "--load_fast", "false"]
+    try:
+        proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL)
+    except OSError:  # no python executable / fork failure — never fatal
+        return None
+    logger.info("tensorboard --bind_all --logdir %s (pid %d)",
+                os.path.abspath(log_dir), proc.pid)
+
+    def _kill():
+        if proc.poll() is None:
+            try:
+                proc.send_signal(signal.SIGTERM)
+            except OSError:
+                pass
+
+    atexit.register(_kill)
+    return proc

@@ -87,6 +87,12 @@ def main():
     modules = build_modules(cfg, args.seed)
 
     writer = ScalarWriter(cfg["log_dir"]) if jax.process_index() == 0 else None
+    if writer is not None:
+        # rank-0 TensorBoard auto-launch (reference scripts/train.py:188);
+        # OI_TB=0 disables.
+        from object_intrinsics_tpu.utils.train_setup import open_tensorboard
+
+        open_tensorboard(cfg["log_dir"])
 
     trainer = build_from_config(cfg["trainer"], modules=modules, writer=writer, mesh=mesh)
 

@@ -7,6 +7,9 @@ XLA_FLAGS must still be set before the CPU backend initializes.
 """
 import os
 
+# CLI-smoke tests exec scripts/train.py; don't spawn TensorBoard servers in CI.
+os.environ.setdefault("OI_TB", "0")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

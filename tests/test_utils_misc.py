@@ -91,3 +91,36 @@ def test_timers():
     m.tick(5)
     rep = m.report()
     assert rep["rays_per_sec"] > 0
+
+
+def test_open_tensorboard(monkeypatch):
+    """Rank-0 TB auto-launch (reference tu/train_setup.py:78-86): spawns a
+    server process unless OI_TB=0 or tensorboard is missing."""
+    from object_intrinsics_tpu.utils import train_setup
+
+    monkeypatch.setenv("OI_TB", "0")
+    assert train_setup.open_tensorboard("/tmp/nope") is None
+
+    monkeypatch.setenv("OI_TB", "1")
+    calls = {}
+
+    class FakeProc:
+        pid = 1234
+
+        def poll(self):
+            return 0  # already exited: atexit hook is a no-op
+
+    import subprocess
+
+    def fake_popen(cmd, **kw):
+        calls["cmd"] = cmd
+        return FakeProc()
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    proc = train_setup.open_tensorboard("/tmp/tbdir")
+    import importlib.util
+    if importlib.util.find_spec("tensorboard") is None:
+        assert proc is None and "cmd" not in calls
+    else:
+        assert proc is not None
+        assert "--logdir" in calls["cmd"] and "/tmp/tbdir" in calls["cmd"]
