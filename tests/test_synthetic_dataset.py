@@ -85,3 +85,18 @@ def test_train_cli_end_to_end_on_synth(synth_dir, tmp_path, monkeypatch):
     assert int(np.asarray(state["it"])) >= 3
     for leaf in __import__("jax").tree.leaves(state["params"]):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_recovery_eval_gt_matches_fixture_sdf():
+    """tools/eval_synth_recovery duplicates the fixture's GT constants in
+    numpy; pin them to the jax box_fns so they can't drift apart."""
+    import jax.numpy as jnp
+    from eval_synth_recovery import gt_sdf_np
+    from make_synthetic_dataset import box_fns
+
+    fns = box_fns()
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-1, 1, size=(512, 3)).astype(np.float32)
+    ours = gt_sdf_np(pts)
+    ref = np.asarray(fns.sdf(jnp.asarray(pts)))[..., 0]
+    np.testing.assert_allclose(ours, ref, atol=2e-6)
