@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--bs", type=int, default=7, help="render batch size")
     ap.add_argument("--coarse", type=int, default=72, help="coarse yaw steps")
     ap.add_argument("--probes", type=int, default=4, help="poses in the coarse sweep")
+    ap.add_argument("--z-seed", type=int, default=None,
+                    help="render at z~N(0,1) from this seed instead of z=0 "
+                         "(z=0 can drift off the prior's typical set late in "
+                         "training — compare eval_synth_recovery per-latent)")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +75,11 @@ def main():
     b2ws[:, :3, 3] = 0.0
 
     z_dim = cfg["model"]["generator"]["kwargs"]["z_dim"]
+    if args.z_seed is None:
+        z_row = np.zeros((1, z_dim), np.float32)
+    else:
+        z_row = np.asarray(jax.random.normal(jax.random.PRNGKey(args.z_seed),
+                                             (1, z_dim)), np.float32)
 
     bs = args.bs
     import functools
@@ -79,7 +88,7 @@ def main():
     def render_masks(b2w):
         data = {
             "b2w": b2w,
-            "z": jnp.zeros((bs, z_dim), jnp.float32),
+            "z": jnp.asarray(np.repeat(z_row, bs, axis=0)),
             "bg_color": jnp.ones((bs, 3), jnp.float32),
         }
         out = gen.forward(params, jax.random.PRNGKey(0), bs=bs, it=info["it"],
@@ -143,6 +152,7 @@ def main():
     imgs, mk = best.pop("_imgs"), best.pop("_masks")
     summary = {
         "run": os.path.abspath(args.path), "it": info["it"], "ema": args.ema,
+        "z_seed": args.z_seed,
         "num_crops": args.num, "resolution": int(res),
         "coarse_best": float(coarse_scores.max()),
         **best,
