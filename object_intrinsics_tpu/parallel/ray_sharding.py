@@ -202,8 +202,14 @@ def _composite_rays(gen, params, bg_color, render_out, rays_o, prior_info):
     from ..models import lighting
 
     light_p = params["light"]
-    weights = render_out["weights"]  # (bs, R, S)
+    weights = render_out["weights"]  # (bs, R, S [+ n_outside])
     weight_sum = render_out["weight_sum"]  # (bs, R, 1)
+    # background NeRF (n_outside > 0): per-point arrays below span only the
+    # S inside samples — composite with the object-only transmittance, like
+    # Generator.render_maps (models/generator.py weights_inside branch).
+    if "weights_inside" in render_out:
+        weights = render_out["weights_inside"]
+        weight_sum = jnp.sum(weights, axis=-1, keepdims=True)
     normal_pts = render_out["gradients"]
     color_pts = render_out["raw_color"]
     pts = render_out["pts"]

@@ -108,7 +108,7 @@ class Trainer:
         self.checkpoint_io = CheckpointIO(checkpoint_dir)
         self.light_sphere = UnitSphere(self.generator.resolution, scale=0.5)
 
-        self._step_fn_cache: Dict[int, Any] = {}
+        self._step_fn_cache: Dict[Any, Any] = {}  # (bs, batch-key set)
         self._multi_fn_cache: Dict[Any, Any] = {}
         self._vis_fn_cache: Dict[int, Any] = {}
 
@@ -388,9 +388,8 @@ class Trainer:
         try:
             return fn.lower(*example_args).compile()
         except Exception as e:  # noqa: BLE001 - backend-specific OOM types
-            can_retry = not self.generator.remat_active and __import__("os").environ.get(
-                "OI_REMAT"
-            ) != "0"
+            can_retry = (not self.generator.remat_active
+                         and os.environ.get("OI_REMAT") != "0")
             if not (self._is_oom(e) and can_retry):
                 raise
             logger.warning(
@@ -402,15 +401,20 @@ class Trainer:
             self.generator.remat = True
             return build().lower(*example_args).compile()
 
-    def _get_step_fn(self, bs: int, example_args=None):
-        if bs not in self._step_fn_cache:
-            self._step_fn_cache[bs] = self._compile_step(
+    def _get_step_fn(self, bs: int, example_args):
+        # AOT executables are signature-rigid (unlike jax.jit, which would
+        # retrace): key the cache by the batch's key set too, so alternating
+        # pinned-input batches (gen_*) and plain {image, mask} batches at
+        # the same bs each get their own executable.
+        key = (bs, tuple(sorted(example_args[1])))
+        if key not in self._step_fn_cache:
+            self._step_fn_cache[key] = self._compile_step(
                 lambda: self._build_step(bs), example_args
             )
-        return self._step_fn_cache[bs]
+        return self._step_fn_cache[key]
 
-    def _get_multi_fn(self, bs: int, k_steps: int, example_args=None):
-        key = (bs, k_steps)
+    def _get_multi_fn(self, bs: int, k_steps: int, example_args):
+        key = (bs, k_steps, tuple(sorted(example_args[1])))
         if key not in self._multi_fn_cache:
             self._multi_fn_cache[key] = self._compile_step(
                 lambda: self._build_multi_step(bs, k_steps), example_args

@@ -159,3 +159,26 @@ def test_depth16_sample_counts_render():
     update_config(cfg, depth_multiplier=16)
     rk = cfg["model"]["generator"]["kwargs"]["renderer"]["kwargs"]
     assert (rk["n_samples"], rk["n_importance"]) == (256, 64)
+
+
+def test_chunked_render_with_background_nerf():
+    """n_outside > 0 models must render through the chunked eval path too:
+    weights span inside+outside samples while the per-point arrays span only
+    the inside S — _composite_rays must use weights_inside like
+    Generator.render_maps (regression: it used to broadcast-crash)."""
+    gen = build_from_config(
+        _generator_cfg(resolution=16, n_samples=4, n_importance=2, n_outside=3)
+    )
+    params = gen.init(jax.random.PRNGKey(0))
+    data = {
+        "b2w": jnp.eye(4)[None],
+        "z": jnp.zeros((1, gen.z_dim)),
+        "bg_color": jnp.full((1, 3), 0.5),
+    }
+    full = _full_render(gen, params, data)
+    chunked = chunked_eval_render(gen, params, data, it=0, max_ray_batch=64,
+                                  mesh=None)
+    for k, atol in TOL.items():
+        a, b = np.asarray(chunked[k]), np.asarray(full[k])
+        assert a.shape == b.shape, (k, a.shape, b.shape)
+        assert np.allclose(a, b, atol=atol), (k, np.abs(a - b).max())

@@ -122,7 +122,7 @@ def main():
     real_logits = np.asarray(d_apply(d_params, jnp.asarray(real), k_aug))[:, 0]
 
     fake_imgs = []
-    for i in range(max(1, n_real // bs)):
+    for i in range(-(-n_real // bs)):  # ceil: cover all n_real, then trim
         out = fwd(g_params, jax.random.fold_in(key, 1000 + i))
         fake_imgs.append(np.asarray(out["render_out"]["image"]))
     fake = np.concatenate(fake_imgs)[:n_real]
