@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.flatten_util import ravel_pytree
 
 from ..utils import tree as tree_util
 from ..utils.checkpoint import CheckpointIO, restore_like
@@ -63,6 +64,7 @@ class Trainer:
         it: int = -1,
         mesh=None,
         share_fake_render: bool = False,
+        flat_optim: Optional[bool] = None,
     ):
         # share_fake_render=True feeds ONE fresh no-grad render to both
         # discriminator steps instead of the reference's two independent
@@ -84,9 +86,56 @@ class Trainer:
         self.loss_modules = {k: build_from_config(v) for k, v in loss_modules.items()}
 
         params = {k: modules[f"params_{k}"] for k in MODULE_KEYS}
+        # Flat-buffer optimizer execution: each player's grads/params ravel
+        # into ONE contiguous vector, the optax update + EMA lerps run as a
+        # handful of full-vector ops, and the result unravels back into the
+        # state's leaves. Elementwise math over the same elements — updates
+        # are bit-identical to the per-leaf layout — but the ~hundreds of
+        # small per-leaf fusions (the measured ~25 ms/step opt/EMA/stat tail
+        # at the parity config, docs/DESIGN.md) collapse into a few large
+        # ones. OI_FLAT_OPTIM=0/1 overrides the kwarg; default on. Falls
+        # back to per-leaf if a player mixes param dtypes (ravel_pytree
+        # would silently promote).
+        env_flat = os.environ.get("OI_FLAT_OPTIM")
+        if env_flat is not None:
+            flat_optim = env_flat != "0"
+        elif flat_optim is None:
+            flat_optim = True
+        self._flat_unravel = None
+        self._gen_child_ranges = None
+        if flat_optim:
+            dtypes = {
+                k: {x.dtype for x in jax.tree.leaves(params[k])} for k in MODULE_KEYS
+            }
+            if any(len(d) != 1 for d in dtypes.values()):
+                logger.warning(
+                    "flat_optim disabled: mixed param dtypes %s", dtypes
+                )
+                flat_optim = False
+        if flat_optim:
+            from jax.flatten_util import ravel_pytree
+
+            self._flat_unravel = {}
+            flat_params = {}
+            for k in MODULE_KEYS:
+                flat_params[k], self._flat_unravel[k] = ravel_pytree(params[k])
+            # contiguous [start, end) of each generator top-level child in
+            # the raveled vector (ravel_pytree and tree.leaves both traverse
+            # dicts in sorted-key order, so children stay contiguous) — the
+            # per-child grad-norm stats reduce flat slices instead of one
+            # tiny kernel per leaf
+            ranges, start = {}, 0
+            for child in sorted(params["generator"]):
+                n = sum(int(x.size) for x in jax.tree.leaves(params["generator"][child]))
+                ranges[child] = (start, start + n)
+                start += n
+            assert start == int(flat_params["generator"].size)
+            self._gen_child_ranges = ranges
+        self.flat_optim = flat_optim
+        opt_init_target = flat_params if flat_optim else params
         self.state = {
             "params": params,
-            "opt": {k: self.tx[k].init(params[k]) for k in MODULE_KEYS},
+            "opt": {k: self.tx[k].init(opt_init_target[k]) for k in MODULE_KEYS},
             "ema": {
                 "ema@0.99": jax.tree.map(jnp.copy, params["generator"]),
                 "ema@0.9": jax.tree.map(jnp.copy, params["generator"]),
@@ -138,6 +187,23 @@ class Trainer:
         aux_pose = self.loss_modules["aux_pose"]
         lw = self.loss_weight
         tx = self.tx
+        flat_unravel = self._flat_unravel
+        gen_child_ranges = self._gen_child_ranges
+
+        def opt_apply(name, grads, opt_state, params_k):
+            """update + apply; in flat mode the whole update runs on ONE
+            raveled vector (bit-identical elementwise math, a few large ops
+            instead of one tiny fusion per leaf). Returns the new param
+            tree, the new opt state, and the new flat params (None in
+            per-leaf mode)."""
+            if flat_unravel is None:
+                upd, new_opt = tx[name].update(grads, opt_state, params_k)
+                return optax.apply_updates(params_k, upd), new_opt, None
+            fg = ravel_pytree(grads)[0]
+            fp = ravel_pytree(params_k)[0]
+            upd, new_opt = tx[name].update(fg, opt_state, fp)
+            new_fp = fp + upd
+            return flat_unravel[name](new_fp), new_opt, new_fp
 
         def step(state, batch, key, grad_sync=lambda g: g):
             it = state["it"] + 1
@@ -186,11 +252,17 @@ class Trainer:
             )
             g_grads = grad_sync(g_grads)
             ret.update(g_stats)
-            ret.update(tree_util.children_grad_norms(g_grads))
-            g_upd, g_opt = tx["generator"].update(
-                g_grads, state["opt"]["generator"], params["generator"]
+            if gen_child_ranges is None:
+                ret.update(tree_util.children_grad_norms(g_grads))
+            else:
+                # per-child norms as contiguous slice reductions of the
+                # raveled grads (XLA CSEs the concat with opt_apply's)
+                fg = ravel_pytree(g_grads)[0]
+                for child, (a, b) in gen_child_ranges.items():
+                    ret[f"grad_stats/{child}"] = jnp.sqrt(jnp.sum(fg[a:b] ** 2))
+            g_params_new, g_opt, g_fp = opt_apply(
+                "generator", g_grads, state["opt"]["generator"], params["generator"]
             )
-            g_params_new = optax.apply_updates(params["generator"], g_upd)
 
             # ------------------------- discriminator step (image + aux pose)
             sg = jax.lax.stop_gradient
@@ -246,10 +318,10 @@ class Trainer:
             )
             d_grads = grad_sync(d_grads)
             ret.update(d_stats)
-            d_upd, d_opt = tx["discriminator"].update(
-                d_grads, state["opt"]["discriminator"], params["discriminator"]
+            d_params_new, d_opt, d_fp = opt_apply(
+                "discriminator", d_grads, state["opt"]["discriminator"],
+                params["discriminator"]
             )
-            d_params_new = optax.apply_updates(params["discriminator"], d_upd)
 
             # ------------------------------------- mask discriminator step
             def md_loss_fn(md_params):
@@ -278,10 +350,10 @@ class Trainer:
             )
             md_grads = grad_sync(md_grads)
             ret.update(md_stats)
-            md_upd, md_opt = tx["mask_discriminator"].update(
-                md_grads, state["opt"]["mask_discriminator"], params["mask_discriminator"]
+            md_params_new, md_opt, md_fp = opt_apply(
+                "mask_discriminator", md_grads, state["opt"]["mask_discriminator"],
+                params["mask_discriminator"]
             )
-            md_params_new = optax.apply_updates(params["mask_discriminator"], md_upd)
 
             # per-optimizer learning rates (reference logs lr/opt_* every
             # step, gan_pose_trainer.py:95-99); schedules are pure fns of it
@@ -296,9 +368,14 @@ class Trainer:
                     "discriminator": d_grads,
                     "mask_discriminator": md_grads,
                 }
-            ret["param_norm/discriminator"] = tree_util.global_norm(d_params_new)
-            ret["param_norm/mask_discriminator"] = tree_util.global_norm(md_params_new)
-            ret["param_norm/generator"] = tree_util.global_norm(g_params_new)
+            if flat_unravel is None:
+                ret["param_norm/discriminator"] = tree_util.global_norm(d_params_new)
+                ret["param_norm/mask_discriminator"] = tree_util.global_norm(md_params_new)
+                ret["param_norm/generator"] = tree_util.global_norm(g_params_new)
+            else:
+                ret["param_norm/discriminator"] = jnp.linalg.norm(d_fp)
+                ret["param_norm/mask_discriminator"] = jnp.linalg.norm(md_fp)
+                ret["param_norm/generator"] = jnp.linalg.norm(g_fp)
 
             # --------------------------------------------------------- EMAs
             # the reference skips EMA updates entirely under DEBUG=1
@@ -306,6 +383,16 @@ class Trainer:
             # constant so DEBUG runs stay comparable
             if os.environ.get("DEBUG") == "1":
                 new_ema = state["ema"]
+            elif flat_unravel is not None:
+                # torch-lerp semantics on the raveled generator params
+                # (identical elementwise to tree_util.ema_update)
+                unr = flat_unravel["generator"]
+                e99 = ravel_pytree(state["ema"]["ema@0.99"])[0]
+                e9 = ravel_pytree(state["ema"]["ema@0.9"])[0]
+                new_ema = {
+                    "ema@0.99": unr(g_fp + 0.99 * (e99 - g_fp)),
+                    "ema@0.9": unr(g_fp + 0.9 * (e9 - g_fp)),
+                }
             else:
                 new_ema = {
                     "ema@0.99": tree_util.ema_update(g_params_new, state["ema"]["ema@0.99"], 0.99),
@@ -544,7 +631,23 @@ class Trainer:
 
     def load_checkpoint(self, path: str, strict: bool = False) -> Dict:
         loaded, meta = self.checkpoint_io.load(path)
-        self.state = restore_like(self.state, loaded)
+        try:
+            self.state = restore_like(self.state, loaded)
+        except (AssertionError, ValueError):
+            # checkpoint saved under the other optimizer-state layout
+            # (flat_optim vs per-leaf): both traverse the same elements in
+            # the same order, so re-slice the opt subtree and retry. Params
+            # and EMAs are layout-independent; a genuine architecture
+            # mismatch still fails inside coerce_leaf_stream.
+            from ..utils.checkpoint import coerce_leaf_stream
+
+            loaded = dict(loaded)
+            loaded["opt"] = coerce_leaf_stream(self.state["opt"], loaded["opt"])
+            self.state = restore_like(self.state, loaded)
+            logger.info(
+                "optimizer state coerced across layouts (flat_optim=%s)",
+                self.flat_optim,
+            )
         self._state_globalized = False  # re-globalize on next multi-process step
         self._it_host = int(np.asarray(self.state["it"]))
         logger.info("resumed from %s at it=%d", path, self.it)

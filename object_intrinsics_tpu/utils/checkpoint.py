@@ -148,6 +148,67 @@ def restore_like(template: Any, loaded: Any) -> Any:
     return jax.tree.unflatten(treedef, out)
 
 
+def coerce_leaf_stream(template: Any, loaded: Any) -> Any:
+    """Re-slice ``loaded``'s leaves onto ``template``'s leaf shapes,
+    preserving element order.
+
+    Optimizer state saved under one leaf layout must restore under another:
+    the trainer's flat-buffer optimizer (trainers/gan_pose_trainer.py,
+    ``flat_optim``) keeps each player's optax state as ONE raveled vector,
+    while older checkpoints store one leaf per param. Both layouts traverse
+    the same elements in the same order (ravel_pytree and tree.leaves share
+    dict-key-sorted traversal), so a cursor re-slicing converts either
+    direction. Integer leaves (optax step counts) must align exactly with an
+    integer leaf boundary — a misalignment means the structures are NOT
+    stream-compatible, and that is a hard error, never a silent cast.
+    """
+    t_leaves, treedef = jax.tree.flatten(template)
+    l_leaves = [np.asarray(x) for x in jax.tree.leaves(loaded)]
+    n_have = sum(int(x.size) for x in l_leaves)
+    n_want = sum(int(np.prod(t.shape, dtype=np.int64)) if hasattr(t, "shape") else 1
+                 for t in t_leaves)
+    if n_have != n_want:
+        raise ValueError(
+            f"cannot coerce optimizer state: {n_have} loaded elements vs "
+            f"{n_want} expected (different optimizer or architecture?)"
+        )
+    out, li, off = [], 0, 0
+    for i, t in enumerate(t_leaves):
+        if not hasattr(t, "shape"):
+            out.append(l_leaves[li])
+            li += 1
+            continue
+        n = int(np.prod(t.shape, dtype=np.int64))
+        if np.issubdtype(np.dtype(t.dtype), np.integer):
+            cur = l_leaves[li]
+            if off != 0 or cur.size != n or not np.issubdtype(cur.dtype, np.integer):
+                raise ValueError(
+                    f"integer leaf {i} ({t.dtype}, size {n}) does not align "
+                    f"with a loaded integer leaf — refusing to cast"
+                )
+            out.append(cur.astype(t.dtype).reshape(t.shape))
+            li += 1
+            continue
+        chunks, need = [], n
+        while need:
+            cur = l_leaves[li].reshape(-1)
+            if not np.issubdtype(cur.dtype, np.floating):
+                raise ValueError(
+                    f"float leaf {i} would consume a {cur.dtype} loaded leaf "
+                    f"— layouts are not stream-compatible"
+                )
+            take = min(need, int(cur.size) - off)
+            chunks.append(cur[off:off + take])
+            off += take
+            need -= take
+            if off == cur.size:
+                li, off = li + 1, 0
+        arr = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        out.append(arr.astype(t.dtype).reshape(t.shape))
+    assert li == len(l_leaves) and off == 0, (li, len(l_leaves), off)
+    return jax.tree.unflatten(treedef, out)
+
+
 def resolve_checkpoint(path: str) -> str:
     """Resolve a checkpoint path across the two on-disk formats: given
     ``.../model`` / ``.../model.npz`` / ``.../model.oipk``, return the
