@@ -24,7 +24,7 @@ def _free_port():
 
 
 
-def test_two_process_training_smoke():
+def _run_two_process(extra_args=()):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -34,7 +34,7 @@ def test_two_process_training_smoke():
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tools", "multihost_smoke.py"),
              "--coordinator", f"localhost:{port}",
-             "--num-processes", "2", "--process-id", str(i)],
+             "--num-processes", "2", "--process-id", str(i), *extra_args],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -52,3 +52,15 @@ def test_two_process_training_smoke():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {i} failed:\n{out[-4000:]}"
         assert "OK" in out, f"rank {i} produced no OK:\n{out[-2000:]}"
+
+
+def test_two_process_training_smoke():
+    _run_two_process()
+
+
+def test_two_process_pinned_equivalence():
+    """Cross-process math: a pinned-input step on the 2-process global mesh
+    must produce the same parameter update as a single-device step on the
+    full global batch — the DCN analog of tests/test_ddp_equivalence.py,
+    verified independently by each rank inside multihost_smoke.py."""
+    _run_two_process(("--pinned",))
