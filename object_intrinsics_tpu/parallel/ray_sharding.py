@@ -235,5 +235,8 @@ def _composite_rays(gen, params, bg_color, render_out, rays_o, prior_info):
         "mask": jnp.clip(weight_sum, 1e-3, 1.0 - 1e-3),
         "normal_map": pts_sum(normal_pts),
         "shading_map": pts_sum(shading_pts),
-        "color_map": pts_sum(color_pts),
+        # full-depth blended color, like Generator.render_maps — with a
+        # background NeRF this includes the outside samples (equals
+        # sum(weights * raw_color) when n_outside == 0)
+        "color_map": render_out["color_fine"],
     }

@@ -113,8 +113,6 @@ class Trainer:
                 )
                 flat_optim = False
         if flat_optim:
-            from jax.flatten_util import ravel_pytree
-
             self._flat_unravel = {}
             flat_params = {}
             for k in MODULE_KEYS:
@@ -639,6 +637,8 @@ class Trainer:
             # the same order, so re-slice the opt subtree and retry. Params
             # and EMAs are layout-independent; a genuine architecture
             # mismatch still fails inside coerce_leaf_stream.
+            if not isinstance(loaded, dict) or "opt" not in loaded:
+                raise  # not a training-state checkpoint — original error
             from ..utils.checkpoint import coerce_leaf_stream
 
             loaded = dict(loaded)

@@ -175,6 +175,11 @@ def coerce_leaf_stream(template: Any, loaded: Any) -> Any:
     out, li, off = [], 0, 0
     for i, t in enumerate(t_leaves):
         if not hasattr(t, "shape"):
+            if off != 0:
+                raise ValueError(
+                    f"shapeless leaf {i} lands mid-way through a loaded "
+                    f"leaf — layouts are not stream-compatible"
+                )
             out.append(l_leaves[li])
             li += 1
             continue
@@ -188,6 +193,9 @@ def coerce_leaf_stream(template: Any, loaded: Any) -> Any:
                 )
             out.append(cur.astype(t.dtype).reshape(t.shape))
             li += 1
+            continue
+        if n == 0:
+            out.append(np.zeros(t.shape, dtype=t.dtype))
             continue
         chunks, need = [], n
         while need:

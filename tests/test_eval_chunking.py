@@ -38,7 +38,8 @@ def _full_render(gen, params, data):
     )["box"]["render_out"]
 
 
-TOL = {"image": 1e-3, "mask": 1e-3, "normal_map": 5e-3, "shading_map": 2e-3}
+TOL = {"image": 1e-3, "mask": 1e-3, "normal_map": 5e-3, "shading_map": 2e-3,
+       "color_map": 1e-3}
 
 
 @pytest.mark.parametrize("max_ray_batch", [64, 100])  # 100 exercises padding

@@ -48,7 +48,7 @@ def _pinned_batch(gen, bs, seed=11):
         "image": rng.rand(bs, 16, 16, 3).astype(np.float32),
         "mask": (rng.rand(bs, 16, 16, 1) > 0.5).astype(np.float32),
         "gen_b2w": np.tile(b2w_one, (bs, 1, 1)).astype(np.float32),
-        "gen_z": rng.randn(bs, 64).astype(np.float32),
+        "gen_z": rng.randn(bs, gen.z_dim).astype(np.float32),
         "gen_bg_color": rng.rand(bs, 3).astype(np.float32),
     }
 
