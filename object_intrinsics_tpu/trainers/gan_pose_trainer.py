@@ -65,6 +65,7 @@ class Trainer:
         mesh=None,
         share_fake_render: bool = False,
         flat_optim: Optional[bool] = None,
+        async_checkpoint: Optional[bool] = None,
     ):
         # share_fake_render=True feeds ONE fresh no-grad render to both
         # discriminator steps instead of the reference's two independent
@@ -154,6 +155,19 @@ class Trainer:
             checkpoint_dir = None
         self.checkpoint_io = CheckpointIO(checkpoint_dir)
         self.light_sphere = UnitSphere(self.generator.resolution, scale=0.5)
+
+        # async checkpointing: the device->host fetch of the full state
+        # (~50 MB params+opt+EMAs) rides the slow tunnel; a background
+        # writer working from an on-device snapshot (donation-safe jnp.copy)
+        # hides it behind training. OI_ASYNC_CKPT=0/1 overrides the kwarg.
+        env_async = os.environ.get("OI_ASYNC_CKPT")
+        if env_async is not None:
+            async_checkpoint = env_async != "0"
+        elif async_checkpoint is None:
+            async_checkpoint = True
+        self._async_ckpt = bool(async_checkpoint)
+        self._ckpt_thread = None
+        self._ckpt_error: Optional[BaseException] = None
 
         self._step_fn_cache: Dict[Any, Any] = {}  # (bs, batch-key set)
         self._multi_fn_cache: Dict[Any, Any] = {}
@@ -618,16 +632,59 @@ class Trainer:
 
     # ----------------------------------------------------------- checkpoint
 
-    def save_checkpoint(self, overwrite: bool = True, epoch: int = -1, **kwargs) -> None:
+    def save_checkpoint(self, overwrite: bool = True, epoch: int = -1,
+                        blocking: Optional[bool] = None, **kwargs) -> None:
         if jax.process_index() != 0:
             return
         meta = {"it": self.it, "epoch": epoch}
-        self.checkpoint_io.save("model", self.state, meta)
-        logger.info("saved checkpoint model.npz at it=%d", self.it)
-        if not overwrite:
-            self.checkpoint_io.save(f"it_{self.it:08d}", self.state, meta)
+        use_async = self._async_ckpt if blocking is None else not blocking
+        # one writer at a time; also surfaces a previous writer's failure
+        self.flush_checkpoints()
+        if not use_async:
+            self.checkpoint_io.save("model", self.state, meta)
+            logger.info("saved checkpoint model at it=%d", self.it)
+            if not overwrite:
+                self.checkpoint_io.save(f"it_{self.it:08d}", self.state, meta)
+            return
+        # On-device snapshot first: the next train step DONATES self.state's
+        # buffers, so the writer thread must work from independent arrays.
+        # The copy is an HBM-to-HBM dispatch (microseconds); the expensive
+        # device->host fetch then overlaps with training in the thread.
+        snap = jax.tree.map(jnp.copy, self.state)
+        it = self.it
+
+        def _write():
+            try:
+                self.checkpoint_io.save("model", snap, meta)
+                if not overwrite:
+                    self.checkpoint_io.save(f"it_{it:08d}", snap, meta)
+                logger.info("saved checkpoint model at it=%d (async)", it)
+            except BaseException as e:  # surfaced by the next flush
+                self._ckpt_error = e
+
+        import threading
+
+        # non-daemon: the interpreter joins it at exit, so a final
+        # checkpoint is never lost to process teardown
+        self._ckpt_thread = threading.Thread(
+            target=_write, name="ckpt-writer", daemon=False
+        )
+        self._ckpt_thread.start()
+
+    def flush_checkpoints(self) -> None:
+        """Wait for a pending async checkpoint write and re-raise its error.
+        Called before reads (load_checkpoint), before starting a new write,
+        and on every train-loop exit path."""
+        t = self._ckpt_thread
+        if t is not None:
+            t.join()
+            self._ckpt_thread = None
+        if self._ckpt_error is not None:
+            e, self._ckpt_error = self._ckpt_error, None
+            raise RuntimeError("async checkpoint write failed") from e
 
     def load_checkpoint(self, path: str, strict: bool = False) -> Dict:
+        self.flush_checkpoints()  # never read under a pending async write
         loaded, meta = self.checkpoint_io.load(path)
         try:
             self.state = restore_like(self.state, loaded)
@@ -762,6 +819,9 @@ def train_loops(
         # exception) — a leaked _on_term would swallow later Ctrl-Cs
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)
+        # and never leave with a checkpoint write in flight (the final
+        # checkpoint of a SIGTERM/max_it exit must be on disk on return)
+        trainer.flush_checkpoints()
 
 
 def _train_loop_body(

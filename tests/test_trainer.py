@@ -91,6 +91,45 @@ def test_resumed_step_matches(tmp_path):
         assert np.allclose(np.asarray(s1[k]), np.asarray(s2[k]), atol=1e-5), k
 
 
+def test_async_checkpoint_snapshot_semantics(tmp_path, tiny_trainer):
+    """The async writer must persist the state AS OF the save call (the
+    on-device jnp.copy snapshot), even when the next donated train step
+    mutates the live state while the write is still in flight."""
+    from object_intrinsics_tpu.utils.checkpoint import load_pytree
+
+    t = tiny_trainer
+    t.checkpoint_io.checkpoint_dir = str(tmp_path)
+    t.train_step(_batch(seed=40), jax.random.PRNGKey(40))
+    at_save = jax.tree.map(np.asarray, t.state["params"])
+    it_at_save = t.it
+    assert t._async_ckpt  # default on
+    t.save_checkpoint(overwrite=True, epoch=1)
+    # mutate (and donate) the live state under the pending write
+    t.train_step(_batch(seed=41), jax.random.PRNGKey(41))
+    t.flush_checkpoints()
+    loaded, meta = load_pytree(os.path.join(str(tmp_path), "model.npz"))
+    assert meta["it"] == it_at_save
+    for a, b in zip(jax.tree.leaves(loaded["params"]), jax.tree.leaves(at_save)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_async_checkpoint_error_surfaces(tmp_path, tiny_trainer):
+    """A failed background write must raise at the next flush, not vanish."""
+    import pytest
+
+    t = tiny_trainer
+    blocker = tmp_path / "blocker"
+    blocker.write_text("")  # a FILE where the writer needs a directory
+    t.checkpoint_io.checkpoint_dir = str(blocker / "sub")
+    t.save_checkpoint(overwrite=True)
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        t.flush_checkpoints()
+    # the error is consumed; the trainer keeps working afterwards
+    t.checkpoint_io.checkpoint_dir = str(tmp_path)
+    t.save_checkpoint(overwrite=True, blocking=True)
+    assert os.path.exists(os.path.join(str(tmp_path), "model.npz"))
+
+
 def test_multi_step_dispatch_matches_single_steps():
     """K steps in one scan dispatch reproduce K single-step dispatches: same
     math graph and same per-step keys (fold_in(root, it+1), re-derived
