@@ -820,8 +820,11 @@ def train_loops(
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)
         # and never leave with a checkpoint write in flight (the final
-        # checkpoint of a SIGTERM/max_it exit must be on disk on return)
-        trainer.flush_checkpoints()
+        # checkpoint of a SIGTERM/max_it exit must be on disk on return) —
+        # duck-typed: train_loops accepts any trainer-like object
+        flush = getattr(trainer, "flush_checkpoints", None)
+        if flush is not None:
+            flush()
 
 
 def _train_loop_body(

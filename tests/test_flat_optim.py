@@ -73,6 +73,7 @@ def test_checkpoint_cross_layout_restore(tmp_path):
     t_tree.train_step(_batch(seed=5), jax.random.PRNGKey(5))
     t_tree.checkpoint_io.checkpoint_dir = str(tmp_path / "tree")
     t_tree.save_checkpoint(overwrite=True)
+    t_tree.flush_checkpoints()  # another trainer reads this file next
     p_tree = os.path.join(str(tmp_path / "tree"), "model.npz")
 
     t_flat = _build_trainer(mesh=None, resolution=16, flat_optim=True)
@@ -80,6 +81,7 @@ def test_checkpoint_cross_layout_restore(tmp_path):
     assert t_flat.it == t_tree.it
     t_flat.checkpoint_io.checkpoint_dir = str(tmp_path / "flat")
     t_flat.save_checkpoint(overwrite=True)
+    t_flat.flush_checkpoints()  # read below by t_tree2
     p_flat = os.path.join(str(tmp_path / "flat"), "model.npz")
 
     # flat-layout checkpoint back into a per-leaf trainer
