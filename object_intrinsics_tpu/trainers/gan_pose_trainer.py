@@ -168,6 +168,7 @@ class Trainer:
         self._async_ckpt = bool(async_checkpoint)
         self._ckpt_thread = None
         self._ckpt_error: Optional[BaseException] = None
+        self._vis_thread = None
 
         self._step_fn_cache: Dict[Any, Any] = {}  # (bs, batch-key set)
         self._multi_fn_cache: Dict[Any, Any] = {}
@@ -598,37 +599,61 @@ class Trainer:
         k_fwd, k_aug = jax.random.split(key)
         g_params_local = self._local_state(self.state["params"]["generator"])
         it_local = self._local_state(self.state["it"])
+        # dispatch the device work here (fresh, non-donated output buffers);
+        # the device->host fetches + PNG/TB encoding run in a background
+        # thread so training resumes as soon as the renders are enqueued
         out = self._vis_fn_cache[bs](g_params_local, k_fwd, it_local)
-        maps = {k: np.asarray(v) for k, v in out.items()}
-        it = self.it
-        d = os.path.join(self.vis_dir, f"it_{it:08d}")
-        for k in ["image", "mask", "color_map", "shading_map", "specular_map",
-                  "no_specular_map", "diff_shading_map", "amb_shading_map"]:
-            if k in maps:
-                save_image_grid(os.path.join(d, f"fake_{k}.png"), maps[k])
-        if "normal_map" in maps:
-            save_image_grid(
-                os.path.join(d, "fake_normal_map.png"), maps["normal_map"][..., ::-1] * 0.5 + 0.5
-            )
-        if "z_map" in maps:
-            z = normalize_batched_tensor(maps["z_map"], xmin=maps["z_min"][:, None, None, None])
-            save_image_grid(os.path.join(d, "fake_z.png"), z)
-        light = np.asarray(
-            self.light_sphere.render(g_params_local["light"])["shading_map"]
-        )
-        save_image_grid(os.path.join(d, "light.png"), light[None])
-        aug = self.discriminator.augment_only(
+        light_dev = self.light_sphere.render(g_params_local["light"])["shading_map"]
+        aug_dev = self.discriminator.augment_only(
             self._local_state(self.state["params"]["discriminator"]),
             jnp.asarray(batch["image"]), k_aug,
         )
-        save_image_grid(os.path.join(d, "image_aug.png"), np.asarray(aug))
-        save_image_grid(os.path.join(d, "real_image.png"), batch["image"])
-        save_image_grid(os.path.join(d, "real_mask.png"), batch["mask"])
-        if self.writer is not None:
-            from ..utils.visualize import make_grid
+        it = self.it
+        self._join_vis()
 
-            self.writer.add_image("fake/image", make_grid(maps["image"]), it)
-            self.writer.add_image("real/image", make_grid(batch["image"]), it)
+        def _write():
+            try:
+                maps = {k: np.asarray(v) for k, v in out.items()}
+                d = os.path.join(self.vis_dir, f"it_{it:08d}")
+                for k in ["image", "mask", "color_map", "shading_map", "specular_map",
+                          "no_specular_map", "diff_shading_map", "amb_shading_map"]:
+                    if k in maps:
+                        save_image_grid(os.path.join(d, f"fake_{k}.png"), maps[k])
+                if "normal_map" in maps:
+                    save_image_grid(
+                        os.path.join(d, "fake_normal_map.png"),
+                        maps["normal_map"][..., ::-1] * 0.5 + 0.5,
+                    )
+                if "z_map" in maps:
+                    z = normalize_batched_tensor(
+                        maps["z_map"], xmin=maps["z_min"][:, None, None, None]
+                    )
+                    save_image_grid(os.path.join(d, "fake_z.png"), z)
+                save_image_grid(os.path.join(d, "light.png"), np.asarray(light_dev)[None])
+                save_image_grid(os.path.join(d, "image_aug.png"), np.asarray(aug_dev))
+                save_image_grid(os.path.join(d, "real_image.png"), batch["image"])
+                save_image_grid(os.path.join(d, "real_mask.png"), batch["mask"])
+                if self.writer is not None:
+                    from ..utils.visualize import make_grid
+
+                    # tensorboardX add_* enqueue onto the writer's own worker
+                    # thread, safe alongside main-thread scalar writes
+                    self.writer.add_image("fake/image", make_grid(maps["image"]), it)
+                    self.writer.add_image("real/image", make_grid(batch["image"]), it)
+            except Exception:  # visualization is best-effort, never fatal
+                logger.exception("background visualization write failed (it=%d)", it)
+
+        import threading
+
+        self._vis_thread = threading.Thread(target=_write, name="vis-writer",
+                                            daemon=False)
+        self._vis_thread.start()
+
+    def _join_vis(self) -> None:
+        t = getattr(self, "_vis_thread", None)
+        if t is not None:
+            t.join()
+            self._vis_thread = None
 
     # ----------------------------------------------------------- checkpoint
 
@@ -672,9 +697,11 @@ class Trainer:
         self._ckpt_thread.start()
 
     def flush_checkpoints(self) -> None:
-        """Wait for a pending async checkpoint write and re-raise its error.
-        Called before reads (load_checkpoint), before starting a new write,
-        and on every train-loop exit path."""
+        """Wait for pending background writers (checkpoint + visualization)
+        and re-raise a failed checkpoint write. Called before reads
+        (load_checkpoint), before starting a new write, and on every
+        train-loop exit path."""
+        self._join_vis()
         t = self._ckpt_thread
         if t is not None:
             t.join()

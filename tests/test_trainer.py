@@ -113,6 +113,25 @@ def test_async_checkpoint_snapshot_semantics(tmp_path, tiny_trainer):
         np.testing.assert_array_equal(np.asarray(a), b)
 
 
+def test_visualize_background_writer(tmp_path, tiny_trainer):
+    """visualize dispatches the renders then writes PNGs from a background
+    thread; after a flush every expected file exists and is a valid image."""
+    t = tiny_trainer
+    t.vis_dir = str(tmp_path)
+    batch = _batch(seed=50)
+    t.visualize(batch, jax.random.PRNGKey(50))
+    # training continues while the writer fetches/encodes
+    t.train_step(batch, jax.random.PRNGKey(51))
+    t.flush_checkpoints()
+    d = os.path.join(str(tmp_path), f"it_{t.it - 1:08d}")
+    for name in ("fake_image.png", "fake_mask.png", "fake_normal_map.png",
+                 "light.png", "image_aug.png", "real_image.png"):
+        p = os.path.join(d, name)
+        assert os.path.exists(p), name
+        assert os.path.getsize(p) > 100, name
+    t.vis_dir = None
+
+
 def test_async_checkpoint_error_surfaces(tmp_path, tiny_trainer):
     """A failed background write must raise at the next flush, not vanish."""
     import pytest
