@@ -119,8 +119,22 @@ def run_for_model(model: Dict, data_iter, fps: int = 25,
     rearrange_fn = None
     maps_all = {"image": [], "normal": [], "shading": []}
     key = jax.random.PRNGKey(0)
+
+    def _fetch(ro):
+        # the only blocking point: device->host of one frame's three maps
+        maps_all["image"].append(np.asarray(ro["image"][0]))
+        maps_all["normal"].append(np.asarray(ro["normal_map"][0, ..., ::-1]) * 0.5 + 0.5)
+        maps_all["shading"].append(np.asarray(ro["shading_map"][0]))
+
+    # double-buffered walk: dispatch frame i+1, then fetch frame i while the
+    # device renders — overlaps the host transfer/conversion with compute
+    # (frames are independent; dispatch is async until a value is read)
+    pending = None
     for i, data in enumerate(data_iter):
         if not isinstance(data, dict):
+            if pending is not None:  # frame order matters to rearrange_fn
+                _fetch(pending)
+                pending = None
             rearrange_fn = data  # frame-order protocol (scripts/test.py:191-208)
             continue
         data = dict(data)
@@ -132,9 +146,11 @@ def run_for_model(model: Dict, data_iter, fps: int = 25,
             )
         else:
             ro = fwd(params, jax.random.fold_in(key, i), data)["box"]["render_out"]
-        maps_all["image"].append(np.asarray(ro["image"][0]))
-        maps_all["normal"].append(np.asarray(ro["normal_map"][0, ..., ::-1]) * 0.5 + 0.5)
-        maps_all["shading"].append(np.asarray(ro["shading_map"][0]))
+        if pending is not None:
+            _fetch(pending)
+        pending = ro
+    if pending is not None:
+        _fetch(pending)
 
     if rearrange_fn is not None:
         maps_all = {k: rearrange_fn(v) for k, v in maps_all.items()}
