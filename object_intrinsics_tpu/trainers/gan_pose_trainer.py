@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import logging
 import os
+import sys
+import threading
 import time
 from typing import Any, Dict, Optional
 
@@ -31,7 +33,7 @@ import optax
 from jax.flatten_util import ravel_pytree
 
 from ..utils import tree as tree_util
-from ..utils.checkpoint import CheckpointIO, restore_like
+from ..utils.checkpoint import CheckpointIO, restore_like, save_pytree
 from ..utils.config import build_from_config, register_target
 from ..utils.unit_sphere import UnitSphere
 from ..utils.visualize import normalize_batched_tensor, save_image_grid
@@ -609,12 +611,15 @@ class Trainer:
             jnp.asarray(batch["image"]), k_aug,
         )
         it = self.it
+        # resolve destination/writer on the main thread (callers may mutate
+        # vis_dir after dispatch); one writer at a time
+        d = os.path.join(self.vis_dir, f"it_{it:08d}")
+        writer = self.writer
         self._join_vis()
 
         def _write():
             try:
                 maps = {k: np.asarray(v) for k, v in out.items()}
-                d = os.path.join(self.vis_dir, f"it_{it:08d}")
                 for k in ["image", "mask", "color_map", "shading_map", "specular_map",
                           "no_specular_map", "diff_shading_map", "amb_shading_map"]:
                     if k in maps:
@@ -633,17 +638,15 @@ class Trainer:
                 save_image_grid(os.path.join(d, "image_aug.png"), np.asarray(aug_dev))
                 save_image_grid(os.path.join(d, "real_image.png"), batch["image"])
                 save_image_grid(os.path.join(d, "real_mask.png"), batch["mask"])
-                if self.writer is not None:
+                if writer is not None:
                     from ..utils.visualize import make_grid
 
                     # tensorboardX add_* enqueue onto the writer's own worker
                     # thread, safe alongside main-thread scalar writes
-                    self.writer.add_image("fake/image", make_grid(maps["image"]), it)
-                    self.writer.add_image("real/image", make_grid(batch["image"]), it)
+                    writer.add_image("fake/image", make_grid(maps["image"]), it)
+                    writer.add_image("real/image", make_grid(batch["image"]), it)
             except Exception:  # visualization is best-effort, never fatal
                 logger.exception("background visualization write failed (it=%d)", it)
-
-        import threading
 
         self._vis_thread = threading.Thread(target=_write, name="vis-writer",
                                             daemon=False)
@@ -663,31 +666,42 @@ class Trainer:
             return
         meta = {"it": self.it, "epoch": epoch}
         use_async = self._async_ckpt if blocking is None else not blocking
-        # one writer at a time; also surfaces a previous writer's failure
-        self.flush_checkpoints()
+        # one checkpoint writer at a time; also surfaces a previous writer's
+        # failure. The vis writer touches disjoint data — no need to join it
+        # here (checkpoint iterations are usually also visualize iterations,
+        # and joining would forfeit exactly the overlap both were built for).
+        self._join_ckpt()
         if not use_async:
             self.checkpoint_io.save("model", self.state, meta)
             logger.info("saved checkpoint model at it=%d", self.it)
             if not overwrite:
                 self.checkpoint_io.save(f"it_{self.it:08d}", self.state, meta)
             return
-        # On-device snapshot first: the next train step DONATES self.state's
-        # buffers, so the writer thread must work from independent arrays.
-        # The copy is an HBM-to-HBM dispatch (microseconds); the expensive
-        # device->host fetch then overlaps with training in the thread.
-        snap = jax.tree.map(jnp.copy, self.state)
+        # Snapshot first: the next train step DONATES self.state's buffers,
+        # so the writer thread must work from independent arrays. Single
+        # process: an on-device jnp.copy (HBM-to-HBM, microseconds) and the
+        # expensive device->host fetch overlaps training in the thread.
+        # Multi-process: eager ops on non-fully-addressable global arrays
+        # are not allowed from one process — device_get the fully-replicated
+        # state here (blocking fetch) and keep only the disk write async.
+        if jax.process_count() > 1:
+            snap = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), self.state)
+        else:
+            snap = jax.tree.map(jnp.copy, self.state)
         it = self.it
+        # resolve paths on the main thread: callers may reassign
+        # checkpoint_io.checkpoint_dir as soon as this returns
+        paths = [self.checkpoint_io.path("model")]
+        if not overwrite:
+            paths.append(self.checkpoint_io.path(f"it_{it:08d}"))
 
         def _write():
             try:
-                self.checkpoint_io.save("model", snap, meta)
-                if not overwrite:
-                    self.checkpoint_io.save(f"it_{it:08d}", snap, meta)
+                for p in paths:
+                    save_pytree(p, snap, meta)
                 logger.info("saved checkpoint model at it=%d (async)", it)
             except BaseException as e:  # surfaced by the next flush
                 self._ckpt_error = e
-
-        import threading
 
         # non-daemon: the interpreter joins it at exit, so a final
         # checkpoint is never lost to process teardown
@@ -696,12 +710,7 @@ class Trainer:
         )
         self._ckpt_thread.start()
 
-    def flush_checkpoints(self) -> None:
-        """Wait for pending background writers (checkpoint + visualization)
-        and re-raise a failed checkpoint write. Called before reads
-        (load_checkpoint), before starting a new write, and on every
-        train-loop exit path."""
-        self._join_vis()
+    def _join_ckpt(self) -> None:
         t = self._ckpt_thread
         if t is not None:
             t.join()
@@ -709,6 +718,13 @@ class Trainer:
         if self._ckpt_error is not None:
             e, self._ckpt_error = self._ckpt_error, None
             raise RuntimeError("async checkpoint write failed") from e
+
+    def flush_checkpoints(self) -> None:
+        """Wait for pending background writers (checkpoint + visualization)
+        and re-raise a failed checkpoint write. Called before reads
+        (load_checkpoint) and on every train-loop exit path."""
+        self._join_vis()
+        self._join_ckpt()
 
     def load_checkpoint(self, path: str, strict: bool = False) -> Dict:
         self.flush_checkpoints()  # never read under a pending async write
@@ -848,10 +864,20 @@ def train_loops(
             signal.signal(sig, h)
         # and never leave with a checkpoint write in flight (the final
         # checkpoint of a SIGTERM/max_it exit must be on disk on return) —
-        # duck-typed: train_loops accepts any trainer-like object
+        # duck-typed: train_loops accepts any trainer-like object. If we're
+        # already unwinding a training exception, a stale async-write error
+        # must not REPLACE it as the exception the caller sees — log it.
         flush = getattr(trainer, "flush_checkpoints", None)
         if flush is not None:
-            flush()
+            unwinding = sys.exc_info()[0] is not None
+            try:
+                flush()
+            except Exception:
+                if not unwinding:
+                    raise
+                logger.exception(
+                    "background writer failed during exception unwind"
+                )
 
 
 def _train_loop_body(
