@@ -77,7 +77,7 @@ def test_native_ckptpack_roundtrip(tmp_path):
                                   state["params"]["generator"]["w"])
     np.testing.assert_array_equal(loaded["params"]["generator"]["layers"][1],
                                   state["params"]["generator"]["layers"][1])
-    assert int(loaded["it"]) == 1234
+    assert int(np.asarray(loaded["it"]).reshape(())) == 1234
     assert loaded["flags"][1] is None and isinstance(loaded["flags"], tuple)
 
     # zero-copy mmap views match and 64-byte alignment holds
