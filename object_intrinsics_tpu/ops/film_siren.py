@@ -259,6 +259,38 @@ def init_siren_trunk(key, depth: int, in_dim: int, width: int, style_dim: int) -
 
 
 def apply_siren_trunk(layers: List[Params], x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
+    if _scan_trunk_enabled() and len(layers) >= 3:
+        return _apply_siren_trunk_scanned(layers, x, style)
     for p in layers:
         x = apply_film_siren(p, x, style)
+    return x
+
+
+def _scan_trunk_enabled() -> bool:
+    """OI_SCAN_TRUNK=1: run trunk layers 1..D-1 as one lax.scan body.
+
+    Layers 1..D-1 are shape-identical (width -> width), so the unrolled
+    form emits D-1 copies of the same matmul+sin code into the step program
+    — repeated again in every autodiff pass and every render. Scanning
+    replaces them with ONE traced body over stacked (D-1, ...) weights,
+    shrinking the compiled executable. That matters on the axon tunnel,
+    where BENCH warmup is dominated by executable LOAD at ~0.3 MB/s
+    (docs/DESIGN.md warmup anatomy) — smaller program, faster start.
+    Math is unchanged (same per-layer ops/shapes/precision); default off
+    until the runtime cost on real TPU is measured (scan bounds XLA's
+    cross-layer scheduling freedom).
+    """
+    import os
+
+    return os.environ.get("OI_SCAN_TRUNK", "0") == "1"
+
+
+def _apply_siren_trunk_scanned(layers: List[Params], x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
+    x = apply_film_siren(layers[0], x, style)  # in_dim differs; stays unrolled
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *layers[1:])
+
+    def body(h, p):
+        return apply_film_siren(p, h, style), None
+
+    x, _ = jax.lax.scan(body, x, stacked)
     return x

@@ -333,3 +333,42 @@ def test_resnet_block_matches_reference_torch():
         ref_out = ref(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(
         ours_out, ref_out.transpose(0, 2, 3, 1), atol=2e-5)
+
+
+def test_scanned_trunk_matches_unrolled(monkeypatch):
+    """OI_SCAN_TRUNK=1 (lax.scan over the shape-identical trunk layers 1..D-1,
+    an executable-size lever for the axon tunnel's load-bound warmup) must be
+    a pure re-scheduling: values, parameter grads, and point grads (the
+    normals/eikonal path) match the unrolled trunk."""
+    key = jax.random.PRNGKey(7)
+    layers = fs.init_siren_trunk(key, depth=8, in_dim=3, width=32, style_dim=16)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 64, 3))
+    style = jax.random.normal(jax.random.fold_in(key, 2), (2, 16))
+
+    def loss(layers, x, fn):
+        return jnp.sum(fn(layers, x, style) ** 2)
+
+    monkeypatch.delenv("OI_SCAN_TRUNK", raising=False)
+    ref_out = fs.apply_siren_trunk(layers, x, style)
+    ref_gp, ref_gx = jax.grad(loss, argnums=(0, 1))(layers, x, fs.apply_siren_trunk)
+
+    monkeypatch.setenv("OI_SCAN_TRUNK", "1")
+    got_out = fs.apply_siren_trunk(layers, x, style)
+    got_gp, got_gx = jax.grad(loss, argnums=(0, 1))(layers, x, fs.apply_siren_trunk)
+
+    # not bitwise: the in-loop dot schedules differently from the unrolled
+    # one, and the sin chain amplifies the last-ulp difference (~4e-6 on
+    # values). Grads use the repo's noise-floor criterion (max abs diff as a
+    # fraction of the leaf max) — per-element rtol is meaningless on
+    # near-cancellation entries.
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out), atol=3e-5)
+
+    def leaf_close(a, b, frac=1e-4):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-8)
+        assert np.abs(a - b).max() <= frac * scale, (
+            np.abs(a - b).max(), scale)
+
+    leaf_close(got_gx, ref_gx)
+    for a, b in zip(jax.tree.leaves(got_gp), jax.tree.leaves(ref_gp)):
+        leaf_close(a, b)
