@@ -17,6 +17,7 @@ TPU-first divergences from the reference:
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -25,12 +26,6 @@ import numpy as np
 
 from ..ops.renderer import FieldFns, RendererConfig, render as neus_render
 
-# Rematerialized field evaluation (see Generator._field_fns) — fits bs>=4
-# per chip at ~one extra trunk forward. Three ways on, by precedence:
-# OI_REMAT env var (1/0, overrides everything), training.remat config key
-# (plumbed through utils.train_setup.build_modules), or the trainer's
-# OOM-at-compile auto-fallback.
-_REMAT_ENV = __import__("os").environ.get("OI_REMAT")
 from ..utils.config import build_from_config, register_target
 from ..utils.pose import invert_rot_t
 from . import fields, lighting
@@ -130,8 +125,16 @@ class Generator:
 
     @property
     def remat_active(self) -> bool:
-        if _REMAT_ENV is not None:
-            return _REMAT_ENV == "1"
+        """Rematerialized field evaluation (see _field_fns) — fits bs>=4 per
+        chip at ~one extra trunk forward. Three ways on, by precedence:
+        OI_REMAT env var (1/0, overrides everything — read live, so setting
+        it after import still works, matching the trainer's OOM-fallback
+        guard which also reads it live), training.remat config key (plumbed
+        through utils.train_setup.build_modules), or the trainer's
+        OOM-at-compile auto-fallback flipping ``self.remat``."""
+        env = os.environ.get("OI_REMAT")
+        if env is not None:
+            return env == "1"
         return bool(self.remat)
 
     # ------------------------------------------------------------------ init

@@ -27,17 +27,26 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.6 stable API
+# HARD requirement, not a soft import preference: pmean_grads below relies
+# on jax>=0.9 VMA semantics, where jax.grad of replicated params inside
+# shard_map already psums across the mesh (pvary transpose) and the DDP
+# mean is grads / axis_size. On older jax (jax.experimental.shard_map) that
+# implicit psum does NOT happen — the same division would leave gradients
+# UNREDUCED and replicas would silently diverge. Fail at import rather than
+# train wrong; setup.py pins jax>=0.9 to match.
+try:
     from jax import shard_map as _shard_map
+except ImportError as e:  # pragma: no cover
+    raise ImportError(
+        "object_intrinsics_tpu.parallel.mesh requires jax >= 0.9 (stable "
+        "jax.shard_map with VMA grad semantics); the jax.experimental."
+        "shard_map fallback would make pmean_grads' divide-by-axis_size "
+        "sync incorrect (gradients never cross-chip reduced)."
+    ) from e
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map_exp
-
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map_exp(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+def shard_map(f, mesh, in_specs, out_specs):
+    return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 logger = logging.getLogger(__name__)
 

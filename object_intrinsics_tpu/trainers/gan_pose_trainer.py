@@ -485,8 +485,17 @@ class Trainer:
         remat, docs/DESIGN.md scaling table). On that failure, flip the
         generator to rematerialized field evaluation (~3% step cost) and
         rebuild — bs>=4 then trains out of the box instead of dying at the
-        first step. Explicit OI_REMAT=0 disables the fallback."""
+        first step. Explicit OI_REMAT=0 disables the fallback.
+
+        DEBUG=1 skips AOT and returns the plain jitted fn: jax_debug_nans'
+        loud, op-localized FloatingPointError (the contract the SIREN phase
+        guard's NaN-poison relies on, ops/film_siren._phase_guard) only
+        fires through jit dispatch — an AOT ``Compiled`` raises an opaque
+        InternalFloatingPointError with no de-optimized re-run. DEBUG runs
+        are small, so losing the OOM-at-compile fallback there is fine."""
         fn = build()
+        if os.environ.get("DEBUG") == "1":
+            return fn
         try:
             return fn.lower(*example_args).compile()
         except Exception as e:  # noqa: BLE001 - backend-specific OOM types

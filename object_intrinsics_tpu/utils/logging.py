@@ -43,18 +43,9 @@ class ScalarWriter:
         except Exception:  # pragma: no cover
             pass
         self._t0 = time.time()
-        if os.environ.get("OI_OPEN_TENSORBOARD") == "1":  # pragma: no cover
-            # the reference auto-spawns tensorboard (tu/train_setup.py:78-86);
-            # opt-in here since CI/headless runs don't want a server
-            import subprocess
-
-            try:
-                subprocess.Popen(
-                    ["tensorboard", "--bind_all", "--logdir", log_dir],
-                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                )
-            except OSError:
-                pass
+        # TensorBoard auto-launch lives in utils.train_setup.open_tensorboard
+        # (rank-0 gated, atexit-killed, OI_TB=0 to opt out) — the reference's
+        # tu/train_setup.py:78-86 analog. Deliberately NOT duplicated here.
 
     def get_logdir(self) -> str:
         return self.log_dir

@@ -6,5 +6,5 @@ setup(
     description="TPU-native framework for generative models of object intrinsics",
     packages=find_packages(include=["object_intrinsics_tpu*"]),
     python_requires=">=3.10",
-    install_requires=["jax", "numpy", "pyyaml", "scipy", "optax", "einops", "pillow"],
+    install_requires=["jax>=0.9", "numpy", "pyyaml", "scipy", "optax", "einops", "pillow"],
 )

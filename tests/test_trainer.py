@@ -240,3 +240,21 @@ def test_state_hash_is_bitwise_sensitive():
     c = {"p": jnp.asarray([1.0, -1.0, np.nextafter(np.float32(2.0), np.float32(3.0))]),
          "it": jnp.asarray(3, jnp.int32)}
     assert not np.array_equal(np.asarray(state_hash(a)), np.asarray(state_hash(c)))
+
+
+def test_debug_mode_uses_jit_dispatch(monkeypatch):
+    """DEBUG=1 must dispatch through plain jax.jit, not an AOT Compiled:
+    jax_debug_nans' op-localized FloatingPointError (which the SIREN phase
+    guard's NaN-poison relies on) only fires through jit's de-optimized
+    re-run; an AOT executable raises an opaque InternalFloatingPointError."""
+    trainer = _build_trainer(mesh=None, resolution=16)
+    batch = _batch(bs=1)
+    args = (trainer.state, batch, jax.random.PRNGKey(0))
+
+    monkeypatch.setenv("DEBUG", "1")
+    fn_debug = trainer._compile_step(lambda: trainer._build_step(1), args)
+    assert hasattr(fn_debug, "lower"), "DEBUG=1 should return the jitted fn"
+
+    monkeypatch.delenv("DEBUG")
+    fn_aot = trainer._compile_step(lambda: trainer._build_step(1), args)
+    assert not hasattr(fn_aot, "lower"), "non-DEBUG should AOT-compile"
