@@ -84,6 +84,13 @@ def generator_state_dict(gen_params, camera, it):
     _film(sd, "color_network.views_linears", col["views_linears"])
     _linear(sd, "color_network.rgb_linear", col["rgb_linear"])
     sd["deviation_network.variance"] = _t(gen_params["deviation_network"]["variance"])
+    known = {"light", "sdf_network", "color_network", "deviation_network"}
+    extra = sorted(set(gen_params) - known)
+    if extra:
+        # e.g. a background NeRF (n_outside>0): no reference key convention
+        # exists (their Generator always passes nerf=None) — skipped.
+        print(f"warning: generator children without a reference mapping, "
+              f"not exported: {extra}")
     return sd
 
 
