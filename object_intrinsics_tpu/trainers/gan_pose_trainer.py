@@ -746,17 +746,28 @@ class Trainer:
             # the same order, so re-slice the opt subtree and retry. Params
             # and EMAs are layout-independent; a genuine architecture
             # mismatch still fails inside coerce_leaf_stream.
-            if not isinstance(loaded, dict) or "opt" not in loaded:
+            if not isinstance(loaded, dict) or "params" not in loaded:
                 raise  # not a training-state checkpoint — original error
-            from ..utils.checkpoint import coerce_leaf_stream
-
             loaded = dict(loaded)
-            loaded["opt"] = coerce_leaf_stream(self.state["opt"], loaded["opt"])
+            if "opt" not in loaded:
+                # inference-scoped checkpoint (e.g. one produced by
+                # tools/import_torch_checkpoint.py from a reference model.pt):
+                # params/EMA/it only. Keep the freshly-initialized optimizer
+                # moments and train on.
+                loaded["opt"] = self.state["opt"]
+                logger.warning(
+                    "checkpoint %s has no optimizer state; resuming with "
+                    "freshly initialized optimizers", path,
+                )
+            else:
+                from ..utils.checkpoint import coerce_leaf_stream
+
+                loaded["opt"] = coerce_leaf_stream(self.state["opt"], loaded["opt"])
+                logger.info(
+                    "optimizer state coerced across layouts (flat_optim=%s)",
+                    self.flat_optim,
+                )
             self.state = restore_like(self.state, loaded)
-            logger.info(
-                "optimizer state coerced across layouts (flat_optim=%s)",
-                self.flat_optim,
-            )
         self._state_globalized = False  # re-globalize on next multi-process step
         self._it_host = int(np.asarray(self.state["it"]))
         logger.info("resumed from %s at it=%d", path, self.it)

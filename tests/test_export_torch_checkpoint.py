@@ -44,7 +44,7 @@ def exported(tmp_path_factory):
     with open(run_dir / "cfg.json", "w") as f:
         json.dump(cfg, f)
     pt_path = export(str(run_dir))
-    return trainer, torch.load(pt_path, weights_only=False)
+    return trainer, torch.load(pt_path, weights_only=False), pt_path
 
 
 def _expected_generator_keys():
@@ -64,7 +64,7 @@ def _expected_generator_keys():
 
 
 def test_generator_key_set_matches_reference_naming(exported):
-    _, pt = exported
+    _, pt, _ = exported
     assert set(pt["generator"].keys()) == _expected_generator_keys()
     assert pt["generator"]["it"].dtype.is_floating_point is False
     for name in ("discriminator", "mask_discriminator"):
@@ -84,7 +84,7 @@ def test_exported_trunk_runs_in_reference_modules(exported):
 
     from object_intrinsics_tpu.models import fields
 
-    trainer, pt = exported
+    trainer, pt, _ = exported
     sd = pt["generator"]
 
     layers = [FiLMSiren(3, 128, style_dim=64, is_first=True)] + [
@@ -120,7 +120,7 @@ def test_exported_trunk_runs_in_reference_modules(exported):
 
 
 def test_conv_and_ema_layouts_roundtrip(exported):
-    trainer, pt = exported
+    trainer, pt, _ = exported
     d = trainer.state["params"]["discriminator"]
     got = pt["discriminator"]["blocks.0.weight"].numpy()
     np.testing.assert_array_equal(got.transpose(2, 3, 1, 0), np.asarray(d["blocks"][0]["w"]))
@@ -128,3 +128,35 @@ def test_conv_and_ema_layouts_roundtrip(exported):
     np.testing.assert_array_equal(
         e.T, np.asarray(trainer.state["ema"]["ema@0.9"]["sdf_network"]["pts_linears"][0]["w"]))
     assert pt["ema@0.9"]["beta"] == 0.9
+
+
+def test_import_roundtrips_bit_exact(exported, tmp_path):
+    """model.pt -> our npz (tools/import_torch_checkpoint.py) inverts the
+    export exactly: params, EMA trees, and it survive bit-for-bit, and the
+    trainer can RESUME from the imported (optimizer-free) checkpoint with
+    freshly initialized moments."""
+    from object_intrinsics_tpu.utils.checkpoint import load_pytree
+    from tools.import_torch_checkpoint import import_checkpoint
+
+    trainer, _, pt_path = exported
+    out = import_checkpoint(pt_path, str(tmp_path / "imported"))
+    state, meta = load_pytree(out)
+
+    def assert_equal(a, b):
+        la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    assert_equal(state["params"], trainer.state["params"])
+    assert_equal(state["ema"], trainer.state["ema"])
+    assert int(np.asarray(state["it"])) == int(np.asarray(trainer.state["it"]))
+    assert meta["epoch"] == 3
+
+    # resume-from-imported: missing opt falls back to fresh moments
+    from __graft_entry__ import _build_trainer
+
+    fresh = _build_trainer(mesh=None, resolution=16)
+    fresh.load_checkpoint(out)
+    assert_equal(fresh.state["params"], trainer.state["params"])
+    assert int(fresh.it) == int(np.asarray(trainer.state["it"]))
