@@ -32,15 +32,33 @@ def exported(tmp_path_factory):
 
     run_dir = tmp_path_factory.mktemp("run")
     trainer = _build_trainer(mesh=None, resolution=16)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.rand(1, 16, 16, 3).astype(np.float32),
+        "mask": (rng.rand(1, 16, 16, 1) > 0.5).astype(np.float32),
+    }
+    for i in range(2):  # nonzero optimizer moments + it
+        trainer.train_step(batch, jax.random.fold_in(jax.random.PRNGKey(42), i))
     ckpt_dir = run_dir / "checkpoints"
     ckpt_dir.mkdir()
     trainer.checkpoint_io.checkpoint_dir = str(ckpt_dir)
     trainer.save_checkpoint(blocking=True, epoch=3)
-    cfg = {"model": {
-        "generator": _generator_cfg(resolution=16, n_samples=4, n_importance=2),
-        "discriminator": _disc_cfg(16, 3, 7, view=True),
-        "mask_discriminator": _disc_cfg(16, 1, 1),
-    }}
+    cfg = {
+        "model": {
+            "generator": _generator_cfg(resolution=16, n_samples=4, n_importance=2),
+            "discriminator": _disc_cfg(16, 3, 7, view=True),
+            "mask_discriminator": _disc_cfg(16, 1, 1),
+        },
+        # mirrors _build_trainer's optimizers so opt_{player} export triggers
+        "training": {
+            "opt_generator": {"__target__": "torch.optim.Adam",
+                              "kwargs": {"lr": 2e-5, "betas": [0, 0.9]}},
+            "opt_discriminator": {"__target__": "torch.optim.RMSprop",
+                                  "kwargs": {"lr": 1e-4}},
+            "opt_mask_discriminator": {"__target__": "torch.optim.RMSprop",
+                                       "kwargs": {"lr": 1e-4}},
+        },
+    }
     with open(run_dir / "cfg.json", "w") as f:
         json.dump(cfg, f)
     pt_path = export(str(run_dir))
@@ -153,10 +171,82 @@ def test_import_roundtrips_bit_exact(exported, tmp_path):
     assert int(np.asarray(state["it"])) == int(np.asarray(trainer.state["it"]))
     assert meta["epoch"] == 3
 
-    # resume-from-imported: missing opt falls back to fresh moments
+    # resume-from-imported WITHOUT optimizer entries (e.g. an inference-only
+    # .pt): the trainer falls back to freshly initialized moments
+    import torch
+
     from __graft_entry__ import _build_trainer
+
+    stripped = {k: v for k, v in torch.load(pt_path, weights_only=False).items()
+                if not k.startswith(("opt_", "sch_"))}
+    torch.save(stripped, tmp_path / "noopt.pt")
+    out2 = import_checkpoint(str(tmp_path / "noopt.pt"), str(tmp_path / "noopt"))
+    state2, _ = load_pytree(out2)
+    assert "opt" not in state2
+    fresh = _build_trainer(mesh=None, resolution=16)
+    fresh.load_checkpoint(out2)
+    assert_equal(fresh.state["params"], trainer.state["params"])
+    assert int(fresh.it) == int(np.asarray(trainer.state["it"]))
+
+
+def test_exported_optimizers_drive_real_torch_optim(exported):
+    """torch.optim.Adam/RMSprop accept the exported opt_{player} state_dicts
+    and step — proving param_groups completeness and per-index moment
+    shapes on this torch version. StepLR accepts sch_{player}."""
+    import torch
+
+    trainer, pt, _ = exported
+    # check BEFORE stepping: torch shares the loaded step tensors, and
+    # opt.step() increments them in place
+    g0 = pt["opt_generator"]["state"][10]
+    assert float(g0["exp_avg_sq"].abs().sum()) > 0  # real moments, not zeros
+    assert float(g0["step"]) == 2.0  # two fixture train steps
+    for player, cls in (("generator", torch.optim.Adam),
+                        ("discriminator", torch.optim.RMSprop),
+                        ("mask_discriminator", torch.optim.RMSprop)):
+        sd = pt[f"opt_{player}"]
+        n = len(sd["param_groups"][0]["params"])
+        assert set(sd["state"].keys()) == set(range(n))
+        moment = "exp_avg" if cls is torch.optim.Adam else "square_avg"
+        params = [torch.nn.Parameter(torch.zeros_like(sd["state"][i][moment]))
+                  for i in range(n)]
+        opt = cls(params, lr=1.0)
+        opt.load_state_dict(sd)
+        for p in params:
+            p.grad = torch.ones_like(p)
+        opt.step()  # must not raise (missing hyperparam keys would KeyError)
+        sch = torch.optim.lr_scheduler.StepLR(opt, step_size=10**9, gamma=1.0)
+        sch.load_state_dict(pt[f"sch_{player}"])
+        sch.step()
+
+
+def test_imported_optimizer_state_resumes_identically(exported, tmp_path):
+    """The strongest interop check: trainer A's full training state survives
+    export->import, and a resumed trainer B takes the SAME next step (same
+    batch, same key) to bit-identical parameters — moments included."""
+    from tools.import_torch_checkpoint import import_checkpoint
+    from __graft_entry__ import _build_trainer
+
+    trainer, _, pt_path = exported
+    out = import_checkpoint(pt_path, str(tmp_path / "resume"))
 
     fresh = _build_trainer(mesh=None, resolution=16)
     fresh.load_checkpoint(out)
-    assert_equal(fresh.state["params"], trainer.state["params"])
-    assert int(fresh.it) == int(np.asarray(trainer.state["it"]))
+    assert int(fresh.it) == int(trainer.it)
+
+    rng = np.random.RandomState(7)
+    batch = {
+        "image": rng.rand(1, 16, 16, 3).astype(np.float32),
+        "mask": (rng.rand(1, 16, 16, 1) > 0.5).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(99)
+    sa = trainer.train_step(dict(batch), key)
+    sb = fresh.train_step(dict(batch), key)
+    np.testing.assert_allclose(float(sa["generator/loss"]),
+                               float(sb["generator/loss"]), rtol=0, atol=0)
+    for a, b in zip(jax.tree.leaves(trainer.state["params"]),
+                    jax.tree.leaves(fresh.state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(trainer.state["opt"]),
+                    jax.tree.leaves(fresh.state["opt"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -21,10 +21,12 @@ Key/layout conventions reproduced (all cited into /root/reference):
   * EMA entries are {'state_dict': ..., 'beta': beta}
     (src/utils/ema.py:33-37), named ``ema@{beta}``.
 
-NOT exported: optimizer/scheduler states (optax -> torch.optim state-dict
-translation is out of scope). The reference's inference path never reads
-them; resuming TRAINING over there from this file would hit its strict
-module check — export is for rendering/inspection interop.
+Optimizer/scheduler states ARE translated when the run's cfg.json carries a
+``training`` section: optax Adam/RMSprop moments become torch
+``opt_{player}`` state_dicts (moments keyed by the reference's
+module.parameters() index order, layouts transformed with their weights)
+plus StepLR ``sch_{player}`` dicts — the full set the reference's strict
+resume path (src/utils/checkpoint.py:109-134) expects.
 
 Usage: python tools/export_torch_checkpoint.py -p logs/<run> [-o out.pt]
 """
@@ -105,6 +107,155 @@ def discriminator_state_dict(d_params, aug_pipe, aug_p):
     return sd
 
 
+# ---------------------------------------------------------------------------
+# Optimizer-state translation. torch optimizer state_dicts key moments by the
+# INDEX of each parameter in module.parameters() order — i.e. nn.Module
+# attribute-registration order, depth-first. The tables below reproduce the
+# reference's registration order exactly:
+#   Generator: light (lighting.py:17-21) -> color_network (generator.py:45;
+#   FiLMSiren registers weight, bias, gamma, beta - volume_renderer.py:39-48)
+#   -> sdf_network (:46; style 0-2, pts_linears 0-(D-1), sigma_linear -
+#   fields.py:21-23) -> deviation_network (:47).
+#   DCDiscriminator: blocks 0..n-1, conv_out (discriminator.py:63-72).
+# Each entry carries the layout transform its moments share with the weight.
+# ---------------------------------------------------------------------------
+
+_ID = lambda a: a  # noqa: E731
+_LIN = lambda a: np.asarray(a).T  # noqa: E731 - (in,out) -> (out,in)
+_CONV = lambda a: np.asarray(a).transpose(3, 2, 0, 1)  # noqa: E731 - HWIO -> OIHW
+
+
+def _film_entries(prefix, node):
+    return [
+        (f"{prefix}.weight", node["w"], _LIN),
+        (f"{prefix}.bias", node["b"], _ID),
+        (f"{prefix}.gamma.weight", node["gamma"]["w"], _LIN),
+        (f"{prefix}.gamma.bias", node["gamma"]["b"], _ID),
+        (f"{prefix}.beta.weight", node["beta"]["w"], _LIN),
+        (f"{prefix}.beta.bias", node["beta"]["b"], _ID),
+    ]
+
+
+def _lin_entries(prefix, node):
+    out = [(f"{prefix}.weight", node["w"], _LIN)]
+    if "b" in node:
+        out.append((f"{prefix}.bias", node["b"], _ID))
+    return out
+
+
+def reference_param_entries(player: str, params):
+    """[(torch_key, our_leaf, torch_layout_fn)] in the reference's
+    module.parameters() order for this player's param tree."""
+    e = []
+    if player == "generator":
+        for k in ("param_ambient", "param_direction", "param_shininess", "param_specular"):
+            e.append((f"light.{k}", params["light"][k], _ID))
+        col = params["color_network"]
+        e += _film_entries("color_network.views_linears", col["views_linears"])
+        e += _lin_entries("color_network.rgb_linear", col["rgb_linear"])
+        sdf = params["sdf_network"]
+        for i, layer in enumerate(sdf["style"]):
+            e += _lin_entries(f"sdf_network.style.{i}", layer)
+        for i, layer in enumerate(sdf["pts_linears"]):
+            e += _film_entries(f"sdf_network.pts_linears.{i}", layer)
+        e += _lin_entries("sdf_network.sigma_linear", sdf["sigma_linear"])
+        e.append(("deviation_network.variance", params["deviation_network"]["variance"], _ID))
+    else:
+        for i, blk in enumerate(params["blocks"]):
+            e.append((f"blocks.{i}.weight", blk["w"], _CONV))
+        e += [(f"conv_out.{n}", params["conv_out"][k], t)
+              for n, k, t in (("weight", "w", _CONV), ("bias", "b", _ID))
+              if k in params["conv_out"]]
+    return e
+
+
+def _moment_tree(moment, params):
+    """A moment tree shaped like ``params``. Flat-optim checkpoints store one
+    raveled vector per moment; unravel it along jax.tree.leaves order (the
+    ravel_pytree order used at save time)."""
+    if not isinstance(moment, np.ndarray):
+        return moment
+    import jax
+
+    leaves, treedef = jax.tree.flatten(params)
+    parts, off = [], 0
+    for l in leaves:
+        n = int(np.asarray(l).size)
+        parts.append(np.asarray(moment[off:off + n]).reshape(np.asarray(l).shape))
+        off += n
+    assert off == moment.size, (off, moment.size)
+    return jax.tree.unflatten(treedef, parts)
+
+
+def export_optimizer(player, opt_state, params, opt_cfg):
+    """Our optax chain state -> a torch.optim state_dict.
+
+    Chain layout (trainers/optim.py): [inner, scale_by_learning_rate(sched)]
+    with inner = [count, mu, nu] (Adam) / [nu] (RMSprop) / [trace] or []
+    (SGD). Moments inherit their parameter's torch layout transform."""
+    import jax
+    import torch
+
+    kind = opt_cfg["__target__"].rsplit(".", 1)[-1]
+    kw = dict(opt_cfg.get("kwargs", {}))
+    inner = opt_state[0]
+    # scale_by_learning_rate keeps a count only when driven by a schedule;
+    # with a float lr its state is empty (torch RMSprop's step is cosmetic —
+    # no bias correction — so 0 is safe there; Adam's count lives in inner)
+    sched_count = (int(np.asarray(opt_state[1][0]).reshape(-1)[0])
+                   if len(opt_state[1]) else 0)
+    entries = reference_param_entries(player, params)
+
+    def moment_leaves(tree):
+        t = _moment_tree(tree, params)
+        ents = reference_param_entries(player, t)
+        return [fn(leaf) for _, leaf, fn in ents]
+
+    state = {}
+    groups = {"params": list(range(len(entries))), "lr": kw.get("lr", 1e-3),
+              "maximize": False, "differentiable": False, "foreach": None}
+    if kind == "Adam":
+        count = float(np.asarray(inner[0]).reshape(-1)[0])
+        mus, nus = moment_leaves(inner[1]), moment_leaves(inner[2])
+        for i, (m, n) in enumerate(zip(mus, nus)):
+            state[i] = {"step": torch.tensor(count), "exp_avg": _t(m),
+                        "exp_avg_sq": _t(n)}
+        groups.update(betas=tuple(kw.get("betas", (0.9, 0.999))),
+                      eps=kw.get("eps", 1e-8),
+                      weight_decay=kw.get("weight_decay", 0.0),
+                      amsgrad=False, capturable=False, fused=None,
+                      decoupled_weight_decay=False)
+    elif kind == "RMSprop":
+        nus = moment_leaves(inner[0])
+        for i, n in enumerate(nus):
+            state[i] = {"step": torch.tensor(float(sched_count)),
+                        "square_avg": _t(n)}
+        groups.update(alpha=kw.get("alpha", 0.99), eps=kw.get("eps", 1e-8),
+                      weight_decay=kw.get("weight_decay", 0.0),
+                      momentum=0.0, centered=False, capturable=False)
+    elif kind == "SGD":
+        momentum = kw.get("momentum", 0.0)
+        if momentum:
+            bufs = moment_leaves(inner[-2][0] if len(inner) else inner[0])
+            for i, b in enumerate(bufs):
+                state[i] = {"momentum_buffer": _t(b)}
+        groups.update(momentum=momentum, dampening=0.0,
+                      weight_decay=kw.get("weight_decay", 0.0),
+                      nesterov=False, fused=None)
+    else:
+        raise ValueError(f"no torch translation for optimizer {kind}")
+    return {"state": state, "param_groups": [groups]}
+
+
+def export_scheduler(sch_cfg, opt_cfg, count):
+    kw = dict((sch_cfg or {}).get("kwargs", {}))
+    return {"step_size": kw.get("step_size", 10**9), "gamma": kw.get("gamma", 1.0),
+            "base_lrs": [opt_cfg.get("kwargs", {}).get("lr", 1e-3)],
+            "last_epoch": count, "_step_count": count + 1,
+            "_get_lr_called_within_step": False,
+            "_last_lr": [opt_cfg.get("kwargs", {}).get("lr", 1e-3)]}
+
+
 def export(run_dir: str, out_path=None):
     import torch
 
@@ -140,6 +291,25 @@ def export(run_dir: str, out_path=None):
             "state_dict": generator_state_dict(ema_params, camera, it),
             "beta": beta,
         }
+
+    training = cfg.get("training", {})
+    if "opt" in state and training:
+        for player in ("generator", "discriminator", "mask_discriminator"):
+            opt_cfg = training.get(f"opt_{player}")
+            if opt_cfg is None:
+                continue
+            out[f"opt_{player}"] = export_optimizer(
+                player, state["opt"][player], state["params"][player], opt_cfg
+            )
+            sched_state = state["opt"][player][1]
+            count = (int(np.asarray(sched_state[0]).reshape(-1)[0])
+                     if len(sched_state) else it)
+            out[f"sch_{player}"] = export_scheduler(
+                training.get(f"sch_{player}"), opt_cfg, count
+            )
+    else:
+        print("note: optimizer states not exported "
+              f"(opt in state: {'opt' in state}, cfg has training: {bool(training)})")
 
     if out_path is None:
         out_path = os.path.join(run_dir, "checkpoints", "model.pt")

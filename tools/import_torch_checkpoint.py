@@ -19,10 +19,11 @@ HWIO; `ema@{beta}` blobs -> our ema trees; the `it` buffer -> our it scalar.
 Camera intrinsics and ADA filter buffers are NOT copied — both are
 deterministic functions of the config and are rebuilt at load.
 
-Optimizer moments are NOT translated (torch.optim -> optax state is out of
-scope): the output checkpoint is complete for inference; resuming TRAINING
-from it restarts the optimizers fresh (the trainer's cross-layout coercion
-tolerates the missing `opt` entry by reinitializing).
+Optimizer moments ARE translated when the .pt carries ``opt_{player}``
+entries (torch Adam exp_avg/exp_avg_sq -> optax mu/nu, RMSprop square_avg
+-> nu, moments de-indexed from the reference's module.parameters() order and
+re-laid-out with their weights); a checkpoint without them resumes with
+freshly initialized optimizers (logged by the trainer).
 
 Usage: python tools/import_torch_checkpoint.py -p <reference_exp_dir> -o <out_dir>
 """
@@ -95,6 +96,62 @@ def import_discriminator(sd):
             "conv_out": _conv(sd, "conv_out")}
 
 
+def _inverse_entries(player, params):
+    """reference_param_entries with the INVERSE layout transforms: a list of
+    (set_leaf_fn, torch->ours transform) aligned with torch's param index."""
+    from tools.export_torch_checkpoint import reference_param_entries, _LIN, _CONV, _ID
+
+    inv = {_LIN: lambda a: np.ascontiguousarray(np.asarray(a).T),
+           _CONV: lambda a: np.ascontiguousarray(np.asarray(a).transpose(2, 3, 1, 0)),
+           _ID: np.asarray}
+    return [(leaf, inv[fn]) for _, leaf, fn in reference_param_entries(player, params)]
+
+
+def _moments_to_tree(player, params, torch_state, field):
+    """Collect torch per-param moment ``field`` into a params-shaped tree."""
+    import jax
+
+    # build an index: which leaf object each torch param index maps to
+    entries = _inverse_entries(player, params)
+    assert set(torch_state.keys()) == set(range(len(entries))), (
+        f"torch state indices {sorted(torch_state)} vs {len(entries)} params")
+    by_id = {id(leaf): inv(torch_state[i][field].cpu().numpy())
+             for i, (leaf, inv) in enumerate(entries)}
+    return jax.tree.map(lambda l: by_id[id(l)], params)
+
+
+def import_optimizer(player, torch_sd, params, has_schedule=True):
+    """torch.optim state_dict -> our optax chain state (per-leaf layout,
+    plain lists — exactly what load_pytree yields for a native checkpoint;
+    the trainer's restore_like/coerce_leaf_stream maps it onto its
+    template, flat or per-leaf).
+
+    ``has_schedule``: whether the target optimizer is driven by an LR
+    schedule (cfg has sch_{player}) — scale_by_learning_rate then carries a
+    count leaf; with a plain float lr its state is empty."""
+    state = {int(k): v for k, v in torch_sd["state"].items()}
+    if not state:
+        return None
+    sample = next(iter(state.values()))
+    if "exp_avg" in sample:  # Adam
+        count = np.asarray(int(float(sample["step"])), dtype=np.int32)
+        mu = _moments_to_tree(player, params, state, "exp_avg")
+        nu = _moments_to_tree(player, params, state, "exp_avg_sq")
+        inner = [count, mu, nu]
+        sched = int(float(sample["step"]))
+    elif "square_avg" in sample:  # RMSprop
+        nu = _moments_to_tree(player, params, state, "square_avg")
+        inner = [nu]
+        sched = int(float(sample.get("step", 0)))
+    elif "momentum_buffer" in sample:  # SGD
+        buf = _moments_to_tree(player, params, state, "momentum_buffer")
+        inner = [buf]
+        sched = 0
+    else:
+        return None
+    return [inner, [np.asarray(sched, dtype=np.int32)] if has_schedule else []]
+
+
 def import_checkpoint(pt_path, out_dir, cfg_path=None):
     import torch
 
@@ -113,6 +170,25 @@ def import_checkpoint(pt_path, out_dir, cfg_path=None):
     for name in ("discriminator", "mask_discriminator"):
         if name in ckpt:
             state["params"][name] = import_discriminator(ckpt[name])
+    training = {}
+    if cfg_path and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            training = json.load(f).get("training", {})
+    opt = {}
+    for player in state["params"]:
+        if f"opt_{player}" in ckpt:
+            translated = import_optimizer(
+                player, ckpt[f"opt_{player}"], state["params"][player],
+                has_schedule=training.get(f"sch_{player}") is not None,
+            )
+            if translated is not None:
+                opt[player] = translated
+    if set(opt) == set(state["params"]):
+        state["opt"] = opt
+    elif opt:
+        print(f"note: partial optimizer states ({sorted(opt)}) — dropping "
+              "all; the trainer will reinitialize optimizers")
+
     for k, v in ckpt.items():
         if k.startswith("ema@"):
             state["ema"][k] = import_generator(v["state_dict"])
