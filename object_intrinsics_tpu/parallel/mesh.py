@@ -30,19 +30,25 @@ from jax.sharding import Mesh, PartitionSpec as P
 # HARD requirement, not a soft import preference: pmean_grads below relies
 # on jax>=0.9 VMA semantics, where jax.grad of replicated params inside
 # shard_map already psums across the mesh (pvary transpose) and the DDP
-# mean is grads / axis_size. On older jax (jax.experimental.shard_map) that
-# implicit psum does NOT happen — the same division would leave gradients
-# UNREDUCED and replicas would silently diverge. Fail at import rather than
-# train wrong; setup.py pins jax>=0.9 to match.
-try:
-    from jax import shard_map as _shard_map
-except ImportError as e:  # pragma: no cover
-    raise ImportError(
-        "object_intrinsics_tpu.parallel.mesh requires jax >= 0.9 (stable "
-        "jax.shard_map with VMA grad semantics); the jax.experimental."
-        "shard_map fallback would make pmean_grads' divide-by-axis_size "
-        "sync incorrect (gradients never cross-chip reduced)."
-    ) from e
+# mean is grads / axis_size. On older jax that implicit psum does NOT
+# happen — the same division would leave gradients UNREDUCED and replicas
+# would silently diverge. `from jax import shard_map` alone is NOT a valid
+# proxy (the stable symbol predates 0.9), so check the version explicitly.
+# Fail at import rather than train wrong; setup.py pins jax>=0.9 to match.
+def _require_jax_09():
+    ver = tuple(int(x) for x in jax.__version__.split(".")[:2] if x.isdigit())
+    if ver < (0, 9):
+        raise ImportError(
+            f"object_intrinsics_tpu.parallel.mesh requires jax >= 0.9 "
+            f"(found {jax.__version__}): pmean_grads' divide-by-axis_size "
+            "gradient sync is only correct under 0.9's VMA grad semantics "
+            "(implicit pvary-transpose psum); on older jax it would leave "
+            "gradients cross-chip UNREDUCED."
+        )
+
+
+_require_jax_09()
+from jax import shard_map as _shard_map  # noqa: E402
 
 
 def shard_map(f, mesh, in_specs, out_specs):

@@ -228,7 +228,11 @@ def test_imported_optimizer_state_resumes_identically(exported, tmp_path):
     from __graft_entry__ import _build_trainer
 
     trainer, _, pt_path = exported
-    out = import_checkpoint(pt_path, str(tmp_path / "resume"))
+    # pass the run's cfg.json so has_schedule matches the (schedule-less)
+    # target optimizers; a bare .pt defaults to the reference's
+    # schedule-present convention
+    cfg_path = os.path.join(os.path.dirname(os.path.dirname(pt_path)), "cfg.json")
+    out = import_checkpoint(pt_path, str(tmp_path / "resume"), cfg_path=cfg_path)
 
     fresh = _build_trainer(mesh=None, resolution=16)
     fresh.load_checkpoint(out)
@@ -250,3 +254,62 @@ def test_imported_optimizer_state_resumes_identically(exported, tmp_path):
     for a, b in zip(jax.tree.leaves(trainer.state["opt"]),
                     jax.tree.leaves(fresh.state["opt"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sgd_optimizer_translation_roundtrip():
+    """SGD chain layouts differ from Adam/RMSprop ([wd?][trace?][lr]): the
+    momentum-trace export must find the element before the lr state, real
+    torch.optim.SGD must accept it, and the import must invert it. The
+    momentum=0 chain (no per-param torch state) must export without crashing
+    and import as None (fresh moments)."""
+    import torch
+
+    from object_intrinsics_tpu.trainers.optim import sgd
+    from tools.export_torch_checkpoint import export_optimizer
+    from tools.import_torch_checkpoint import import_optimizer
+
+    params = {
+        "blocks": [{"w": np.arange(12, dtype=np.float32).reshape(2, 2, 1, 3)}],
+        "conv_out": {"w": np.full((2, 2, 3, 1), 2.0, np.float32)},
+    }
+    jparams = jax.tree.map(jnp.asarray, params)
+    grads = jax.tree.map(jnp.ones_like, jparams)
+
+    tx = sgd(lr=0.1, momentum=0.9)(None)
+    st = tx.init(jparams)
+    _, st = tx.update(grads, st, jparams)  # nonzero trace
+    cfg = {"__target__": "torch.optim.SGD",
+           "kwargs": {"lr": 0.1, "momentum": 0.9}}
+    sd = export_optimizer("discriminator", st, params, cfg)
+    assert set(sd["state"].keys()) == {0, 1}
+    # conv moment rides the weight's HWIO->OIHW transform
+    np.testing.assert_array_equal(
+        sd["state"][0]["momentum_buffer"].numpy().transpose(2, 3, 1, 0),
+        np.asarray(jax.tree.leaves(st[-2][0])[0]))
+
+    import copy
+
+    tparams = [torch.nn.Parameter(torch.zeros_like(sd["state"][i]["momentum_buffer"]))
+               for i in range(2)]
+    opt = torch.optim.SGD(tparams, lr=0.1, momentum=0.9)
+    # deep-copy: torch steps mutate the loaded buffers in place, and sd is
+    # re-read by the import below
+    opt.load_state_dict(copy.deepcopy(sd))
+    for p in tparams:
+        p.grad = torch.ones_like(p)
+    opt.step()
+
+    back = import_optimizer("discriminator", sd, params, has_schedule=False)
+    assert back is not None and back[1] == []
+    for a, b in zip(jax.tree.leaves(back[0]), jax.tree.leaves(st[-2][0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # momentum=0: single-element chain, empty torch state
+    tx0 = sgd(lr=0.1)(None)
+    st0 = tx0.init(jparams)
+    _, st0 = tx0.update(grads, st0, jparams)
+    sd0 = export_optimizer(
+        "discriminator", st0, params,
+        {"__target__": "torch.optim.SGD", "kwargs": {"lr": 0.1}})
+    assert sd0["state"] == {}
+    assert import_optimizer("discriminator", sd0, params) is None

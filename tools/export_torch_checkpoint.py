@@ -198,12 +198,15 @@ def export_optimizer(player, opt_state, params, opt_cfg):
 
     kind = opt_cfg["__target__"].rsplit(".", 1)[-1]
     kw = dict(opt_cfg.get("kwargs", {}))
-    inner = opt_state[0]
+    # chain layouts vary by optimizer (trainers/optim.py): Adam/RMSprop are
+    # [inner, lr]; SGD is [weight_decay?][trace?][lr] — so the lr/schedule
+    # state is always LAST, and SGD's momentum trace is second-to-last.
     # scale_by_learning_rate keeps a count only when driven by a schedule;
     # with a float lr its state is empty (torch RMSprop's step is cosmetic —
     # no bias correction — so 0 is safe there; Adam's count lives in inner)
-    sched_count = (int(np.asarray(opt_state[1][0]).reshape(-1)[0])
-                   if len(opt_state[1]) else 0)
+    inner = opt_state[0]
+    sched_count = (int(np.asarray(opt_state[-1][0]).reshape(-1)[0])
+                   if len(opt_state[-1]) else 0)
     entries = reference_param_entries(player, params)
 
     def moment_leaves(tree):
@@ -236,7 +239,9 @@ def export_optimizer(player, opt_state, params, opt_cfg):
     elif kind == "SGD":
         momentum = kw.get("momentum", 0.0)
         if momentum:
-            bufs = moment_leaves(inner[-2][0] if len(inner) else inner[0])
+            # trace state is the element before the lr state; TraceState
+            # serializes as a 1-element list [trace_tree]
+            bufs = moment_leaves(opt_state[-2][0])
             for i, b in enumerate(bufs):
                 state[i] = {"momentum_buffer": _t(b)}
         groups.update(momentum=momentum, dampening=0.0,
@@ -316,7 +321,16 @@ def export(run_dir: str, out_path=None):
     tmp = out_path + ".tmp"
     torch.save(out, tmp)
     os.replace(tmp, out_path)
-    n = sum(len(v) for v in out.values() if isinstance(v, dict))
+    import torch as _torch
+
+    def _count_tensors(obj):
+        if isinstance(obj, _torch.Tensor):
+            return 1
+        if isinstance(obj, dict):
+            return sum(_count_tensors(v) for v in obj.values())
+        return 0
+
+    n = _count_tensors(out)
     print(f"wrote {out_path} (it={it}, {n} tensors)")
     return out_path
 

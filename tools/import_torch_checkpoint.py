@@ -120,7 +120,8 @@ def _moments_to_tree(player, params, torch_state, field):
     return jax.tree.map(lambda l: by_id[id(l)], params)
 
 
-def import_optimizer(player, torch_sd, params, has_schedule=True):
+def import_optimizer(player, torch_sd, params, has_schedule=True,
+                     sched_count_hint=None):
     """torch.optim state_dict -> our optax chain state (per-leaf layout,
     plain lists — exactly what load_pytree yields for a native checkpoint;
     the trainer's restore_like/coerce_leaf_stream maps it onto its
@@ -128,25 +129,27 @@ def import_optimizer(player, torch_sd, params, has_schedule=True):
 
     ``has_schedule``: whether the target optimizer is driven by an LR
     schedule (cfg has sch_{player}) — scale_by_learning_rate then carries a
-    count leaf; with a plain float lr its state is empty."""
+    count leaf; with a plain float lr its state is empty.
+    ``sched_count_hint``: the schedule position (the torch StepLR's
+    last_epoch, i.e. updates taken) — preferred over the per-param 'step'
+    entries because SGD state has no step at all."""
     state = {int(k): v for k, v in torch_sd["state"].items()}
     if not state:
         return None
     sample = next(iter(state.values()))
+    sched = int(sched_count_hint) if sched_count_hint is not None else int(
+        float(sample.get("step", 0)))
     if "exp_avg" in sample:  # Adam
         count = np.asarray(int(float(sample["step"])), dtype=np.int32)
         mu = _moments_to_tree(player, params, state, "exp_avg")
         nu = _moments_to_tree(player, params, state, "exp_avg_sq")
         inner = [count, mu, nu]
-        sched = int(float(sample["step"]))
     elif "square_avg" in sample:  # RMSprop
         nu = _moments_to_tree(player, params, state, "square_avg")
         inner = [nu]
-        sched = int(float(sample.get("step", 0)))
     elif "momentum_buffer" in sample:  # SGD
         buf = _moments_to_tree(player, params, state, "momentum_buffer")
         inner = [buf]
-        sched = 0
     else:
         return None
     return [inner, [np.asarray(sched, dtype=np.int32)] if has_schedule else []]
@@ -177,9 +180,19 @@ def import_checkpoint(pt_path, out_dir, cfg_path=None):
     opt = {}
     for player in state["params"]:
         if f"opt_{player}" in ckpt:
+            # scheduler presence decides whether the optax lr state carries a
+            # count leaf: the cfg is authoritative when we have it; a bare
+            # .pt is judged by its own sch_{player} entry (the reference —
+            # and our exporter — always write one per optimizer)
+            if training:
+                has_schedule = training.get(f"sch_{player}") is not None
+            else:
+                has_schedule = f"sch_{player}" in ckpt
+            sch = ckpt.get(f"sch_{player}", {})
             translated = import_optimizer(
                 player, ckpt[f"opt_{player}"], state["params"][player],
-                has_schedule=training.get(f"sch_{player}") is not None,
+                has_schedule=has_schedule,
+                sched_count_hint=sch.get("last_epoch"),
             )
             if translated is not None:
                 opt[player] = translated
@@ -207,20 +220,11 @@ def import_checkpoint(pt_path, out_dir, cfg_path=None):
     save_pytree(out_path, state,
                 meta={"it": it, "epoch": epoch,
                       "imported_from": os.path.abspath(pt_path)})
-    n = sum(x.size for x in _leaves(state))
+    import jax
+
+    n = sum(int(np.asarray(x).size) for x in jax.tree.leaves(state))
     print(f"wrote {out_path} (it={it}, {n} scalars)")
     return out_path
-
-
-def _leaves(tree):
-    if isinstance(tree, dict):
-        for v in tree.values():
-            yield from _leaves(v)
-    elif isinstance(tree, list):
-        for v in tree:
-            yield from _leaves(v)
-    else:
-        yield np.asarray(tree)
 
 
 def main():
