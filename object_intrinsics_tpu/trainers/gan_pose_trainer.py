@@ -93,17 +93,20 @@ class Trainer:
         # into ONE contiguous vector, the optax update + EMA lerps run as a
         # handful of full-vector ops, and the result unravels back into the
         # state's leaves. Elementwise math over the same elements — updates
-        # are bit-identical to the per-leaf layout — but the ~hundreds of
-        # small per-leaf fusions (the measured ~25 ms/step opt/EMA/stat tail
-        # at the parity config, docs/DESIGN.md) collapse into a few large
-        # ones. OI_FLAT_OPTIM=0/1 overrides the kwarg; default on. Falls
-        # back to per-leaf if a player mixes param dtypes (ravel_pytree
-        # would silently promote).
+        # are bit-identical to the per-leaf layout. Default OFF: measured on
+        # the real chip the flat tail is SLOWER than per-leaf (2.81 -> 4.99
+        # ms/iter isolated, tools/bench_flatopt.py; full-step bench agrees)
+        # — XLA:TPU fuses the per-leaf updates fine and the ravel/unravel
+        # slicing costs more than it saves (docs/DESIGN.md r4). The path is
+        # kept for checkpoints written in the flat layout (restore coerces
+        # either way). OI_FLAT_OPTIM=0/1 overrides the kwarg. Falls back to
+        # per-leaf if a player mixes param dtypes (ravel_pytree would
+        # silently promote).
         env_flat = os.environ.get("OI_FLAT_OPTIM")
         if env_flat is not None:
             flat_optim = env_flat != "0"
         elif flat_optim is None:
-            flat_optim = True
+            flat_optim = False
         self._flat_unravel = None
         self._gen_child_ranges = None
         if flat_optim:
