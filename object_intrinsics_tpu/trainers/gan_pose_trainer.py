@@ -20,6 +20,7 @@ EMAs) compiles into one fused TPU executable with donated buffers.
 from __future__ import annotations
 
 import logging
+import math
 import os
 import sys
 import threading
@@ -178,6 +179,10 @@ class Trainer:
         self._step_fn_cache: Dict[Any, Any] = {}  # (bs, batch-key set)
         self._multi_fn_cache: Dict[Any, Any] = {}
         self._vis_fn_cache: Dict[int, Any] = {}
+        # XLA-counted FLOPs of the last AOT-lowered train step (exact, incl.
+        # all autodiff; populated by _compile_step). bench.py reads this for
+        # the MFU line; None when lowering-level cost analysis is unavailable.
+        self.step_cost_analysis: Optional[Dict[str, float]] = None
 
     # ------------------------------------------------------------------ jit
 
@@ -395,6 +400,26 @@ class Trainer:
                 ret["param_norm/mask_discriminator"] = jnp.linalg.norm(md_fp)
                 ret["param_norm/generator"] = jnp.linalg.norm(g_fp)
 
+            # Loud NaN detection for non-DEBUG runs (r4 verdict weak #4).
+            # _rank_onehot's failure mode is silent: a NaN in the SDF corrupts
+            # the renderer's merge ORDER instead of propagating to the loss
+            # (ops/renderer.py _rank_onehot caveat), so a poisoned run keeps
+            # "training" on garbage sample order. The losses and param norms
+            # are already in the stats dict the host fetches at print cadence;
+            # one non-finite count over them costs zero extra fetches and
+            # turns silent corruption into an abort within print_every steps
+            # (checked in _train_loop_body). Reference analog: the NaN guards
+            # at neus/models/renderer.py:316-320 + misc.nan_to_num.
+            ret["nan_alarm"] = sum(
+                jnp.sum((~jnp.isfinite(ret[k])).astype(jnp.float32))
+                for k in (
+                    "generator/loss", "discriminator/loss",
+                    "mask_discriminator/loss", "generator/eikonal",
+                    "param_norm/generator", "param_norm/discriminator",
+                    "param_norm/mask_discriminator",
+                )
+            )
+
             # --------------------------------------------------------- EMAs
             # the reference skips EMA updates entirely under DEBUG=1
             # (gan_pose_trainer.py:269-272); mirrored here as a trace-time
@@ -500,7 +525,9 @@ class Trainer:
         if os.environ.get("DEBUG") == "1":
             return fn
         try:
-            return fn.lower(*example_args).compile()
+            lowered = fn.lower(*example_args)
+            self._record_cost_analysis(lowered)
+            return lowered.compile()
         except Exception as e:  # noqa: BLE001 - backend-specific OOM types
             can_retry = (not self.generator.remat_active
                          and os.environ.get("OI_REMAT") != "0")
@@ -513,7 +540,29 @@ class Trainer:
                 str(e)[:200],
             )
             self.generator.remat = True
-            return build().lower(*example_args).compile()
+            lowered = build().lower(*example_args)
+            self._record_cost_analysis(lowered)
+            return lowered.compile()
+
+    def _record_cost_analysis(self, lowered) -> None:
+        """Stash XLA's HLO-level cost analysis of a lowered train step.
+
+        ``Lowered.cost_analysis()`` is computed on the host from the HLO
+        (no device round-trip) and counts the FLOPs the program actually
+        executes — all three players' forward+backward passes, the vjp-R1
+        double backward, and the optimizer/EMA tails. This is the numerator
+        of the MFU line bench.py emits (SURVEY §6 / r4 verdict ask #2)."""
+        try:
+            ca = lowered.cost_analysis()
+            if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+                ca = ca[0]
+            if ca and ca.get("flops"):
+                self.step_cost_analysis = {
+                    "flops": float(ca["flops"]),
+                    "bytes_accessed": float(ca.get("bytes accessed", 0.0)),
+                }
+        except Exception:  # noqa: BLE001 - backend-optional API, never fatal
+            pass
 
     def _get_step_fn(self, bs: int, example_args):
         # AOT executables are signature-rigid (unlike jax.jit, which would
@@ -969,7 +1018,23 @@ def _train_loop_body(
                 f"replicated params diverged across chips at it={it}"
             )
         if print_every > 0 and it % print_every == 0:
-            stats = {k: float(v) for k, v in stats.items()}
+            stats = {k: float(v) for k, v in stats.items() if k != "grads"}
+            alarm = stats.pop("nan_alarm", 0.0)
+            if alarm > 0 or not all(map(math.isfinite, stats.values())):
+                # non-finite loss/param state (see the step body's nan_alarm
+                # note — _rank_onehot makes NaN corruption silent otherwise).
+                # Snapshot under a DISTINCT name for forensics — model.npz
+                # keeps the last good state for resume — then abort loudly.
+                io = getattr(trainer, "checkpoint_io", None)
+                if io is not None and getattr(io, "checkpoint_dir", None):
+                    io.save(f"nan_it_{it:08d}", trainer.state,
+                            {"it": it, "epoch": epoch})
+                raise RuntimeError(
+                    f"non-finite training state at it={it} "
+                    f"(nan_alarm={alarm}); poisoned snapshot saved as "
+                    f"nan_it_{it:08d}, last good checkpoint left untouched. "
+                    f"Re-run with DEBUG=1 to localize the producing op."
+                )
             dt = time.time() - t0b
             n_steps = max(it - last_print_it, 1)
             stats["perf/it_per_sec"] = n_steps / dt

@@ -18,6 +18,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon sitecustomize force-selects the TPU tunnel and ignores the env
+    # var; honor it here so JAX_PLATFORMS=cpu smoke runs stay off the chip
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # Persistent compilation cache: the fused train step is a large XLA program
 # (~minutes to compile); cache it across processes.
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))

