@@ -53,9 +53,13 @@ def gt_sdf_np(pts: np.ndarray) -> np.ndarray:
     return np.minimum(box, bump)
 
 
-def yaw_rot(theta: float) -> np.ndarray:
-    """Rotation about the scene up-axis y (the Plane prior's free axis)."""
+def yaw_rot(theta: float, axis: str = "y") -> np.ndarray:
+    """Rotation about the pose prior's free (gauge) axis: y for Plane (the
+    scene up-axis), z for Hemisphere (its azimuth spins about world z, see
+    pose_sampler.Hemisphere / reference src/utils/pose_sampler.py:93-115)."""
     c, s = np.cos(theta), np.sin(theta)
+    if axis == "z":
+        return np.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
     return np.asarray([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
 
 
@@ -79,6 +83,8 @@ def main():
     ap.add_argument("--ema", type=float, default=None)
     ap.add_argument("--grid", type=int, default=96)
     ap.add_argument("--yaw-steps", type=int, default=120)
+    ap.add_argument("--yaw-axis", choices=["y", "z"], default="y",
+                    help="gauge axis of the pose prior: y for Plane, z for Hemisphere")
     ap.add_argument("--latents", type=int, default=4,
                     help="prior z draws scored in addition to z=0")
     ap.add_argument("--chunk", type=int, default=65536)
@@ -139,7 +145,7 @@ def main():
         occ = learned_occ(w)
         best = {"iou": -1.0}
         for theta in thetas:
-            rp = pts @ yaw_rot(theta).T.astype(np.float32)
+            rp = pts @ yaw_rot(theta, args.yaw_axis).T.astype(np.float32)
             occ_gt = (gt_sdf_np(rp) < 0.0).reshape(n, n, n)
             inter = np.logical_and(occ, occ_gt).sum()
             union = np.logical_or(occ, occ_gt).sum()
@@ -147,7 +153,7 @@ def main():
             if iou > best["iou"]:
                 best = {"iou": iou, "theta_deg": float(np.degrees(theta))}
         # surface error at best yaw: |gt distance| on learned surface voxels
-        rp = pts @ yaw_rot(np.radians(best["theta_deg"])).T.astype(np.float32)
+        rp = pts @ yaw_rot(np.radians(best["theta_deg"]), args.yaw_axis).T.astype(np.float32)
         d_gt = np.abs(gt_sdf_np(rp)).reshape(n, n, n)
         surf = surface_voxels(occ)
         if surf.any():
@@ -170,6 +176,7 @@ def main():
         "grid": n,
         "voxel_size": voxel,
         "yaw_steps": args.yaw_steps,
+        "yaw_axis": args.yaw_axis,
         "gt_occ_frac": gt_occ_frac,
         "best_iou": max(r["iou"] for r in results),
         "mean_iou": float(np.mean([r["iou"] for r in results])),

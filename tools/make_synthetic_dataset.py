@@ -11,7 +11,15 @@ prior the trainer will fit.
 
 Usage:
     python tools/make_synthetic_dataset.py -o data/synth_box [-n 24]
-        [--size 256] [--seed 0]
+        [--size 256] [--seed 0] [--prior plane|hemisphere]
+
+``--prior hemisphere`` draws the crops from the reference's Hemisphere
+sampler (src/utils/pose_sampler.py:93-115) instead of Plane. The Plane
+prior's free rotation axis coincides with its single view axis, so depth
+along the ray is shading-only and volumetric recovery is unidentifiable
+(r4 verdict weak #2); the Hemisphere's multi-elevation views make depth
+silhouette-constrained, so a trained run CAN be scored for full-3D
+recovery (tools/eval_synth_recovery.py --yaw-axis z).
 
 Then train on it:
     python scripts/train.py -d data/synth_box -o -t synth [overrides...]
@@ -26,6 +34,11 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon sitecustomize force-selects the TPU tunnel and ignores the
+    # env var; honor it so fixtures can be generated off-chip
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def box_fns(inv_s=600.0):
@@ -117,6 +130,7 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--fov", type=float, default=10.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--prior", choices=["plane", "hemisphere"], default="plane")
     args = ap.parse_args()
 
     import object_intrinsics_tpu  # noqa: F401
@@ -124,11 +138,19 @@ def main():
 
     from object_intrinsics_tpu.utils.config import build_from_config
 
-    prior = build_from_config({
-        "__target__": "object_intrinsics_tpu.utils.pose_sampler.Plane",
-        "kwargs": dict(cam_loc=[0, -1, 0], rot_degree_range_scale=360,
-                       rot_roll_degree_range_scale=20, xy_range_scale=[6, 3.5]),
-    })
+    if args.prior == "hemisphere":
+        prior_cfg = {
+            "__target__": "object_intrinsics_tpu.utils.pose_sampler.Hemisphere",
+            "kwargs": {},
+        }
+    else:
+        prior_cfg = {
+            "__target__": "object_intrinsics_tpu.utils.pose_sampler.Plane",
+            "kwargs": dict(cam_loc=[0, -1, 0], rot_degree_range_scale=360,
+                           rot_roll_degree_range_scale=20,
+                           xy_range_scale=[6, 3.5]),
+        }
+    prior = build_from_config(prior_cfg)
     # crops are object-centered: zero the scene-plane translation, keep the
     # rotation distribution the trainer will rediscover
     b2ws = np.array(prior(jax.random.PRNGKey(args.seed), args.num))  # writable
@@ -148,8 +170,13 @@ def main():
         print(f"wrote {i:02d}.png  fill={alpha.mean():.3f}")
 
     scene = int(round(args.size * 1588 / 256))  # keep the example crop ratio
-    with open(os.path.join(args.out, "cfg.yaml"), "w") as f:
-        f.write(f"""b2w_scene_prior:
+    if args.prior == "hemisphere":
+        prior_yaml = """b2w_scene_prior:
+  __target__: src.utils.pose_sampler.Hemisphere
+  kwargs: {}
+"""
+    else:
+        prior_yaml = """b2w_scene_prior:
   __target__: src.utils.pose_sampler.Plane
   kwargs:
     cam_loc: [0, -1, 0]
@@ -158,7 +185,9 @@ def main():
     xy_range_scale:
       - 6
       - 3.5
-fov: {args.fov}
+"""
+    with open(os.path.join(args.out, "cfg.yaml"), "w") as f:
+        f.write(prior_yaml + f"""fov: {args.fov}
 img_size: {args.size}
 img_size_scene: {scene}
 cam_dist: null
