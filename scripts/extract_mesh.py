@@ -22,6 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 import object_intrinsics_tpu  # noqa: F401
+from object_intrinsics_tpu.utils.platform import honor_jax_platforms
+
+honor_jax_platforms()
 from object_intrinsics_tpu.models import fields
 from object_intrinsics_tpu.ops.marching_cubes import extract_geometry, save_obj
 from object_intrinsics_tpu.utils.test import inference_setup

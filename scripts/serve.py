@@ -34,6 +34,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax  # noqa: E402
 
+from object_intrinsics_tpu.utils.platform import honor_jax_platforms  # noqa: E402
+
+honor_jax_platforms()
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 

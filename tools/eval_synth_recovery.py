@@ -96,6 +96,9 @@ def main():
     import jax.numpy as jnp
 
     import object_intrinsics_tpu  # noqa: F401
+    from object_intrinsics_tpu.utils.platform import honor_jax_platforms
+
+    honor_jax_platforms()
     from object_intrinsics_tpu.models import fields
     from object_intrinsics_tpu.utils.test import inference_setup
 

@@ -87,6 +87,10 @@ def compute_metrics(path: str, n_renders: int = 64, bs: int = 8,
     import jax
     import jax.numpy as jnp
 
+    from object_intrinsics_tpu.utils.platform import honor_jax_platforms
+
+    honor_jax_platforms()
+
     from object_intrinsics_tpu.utils.checkpoint import load_pytree, restore_like
     from object_intrinsics_tpu.utils.config import build_from_config
     from object_intrinsics_tpu.utils.test import inference_setup

@@ -54,6 +54,9 @@ def main():
     import jax.numpy as jnp
 
     import object_intrinsics_tpu  # noqa: F401
+    from object_intrinsics_tpu.utils.platform import honor_jax_platforms
+
+    honor_jax_platforms()
     from object_intrinsics_tpu.data.dataset import Dataset
     from object_intrinsics_tpu.utils.test import inference_setup
 
