@@ -131,13 +131,14 @@ def main():
     # MFU: exact XLA-counted flops of the lowered step (stashed by the
     # trainer at AOT-lower time) over measured time and the chip's bf16
     # peak. Full decomposition + roofline: tools/flops_breakdown.py.
-    flops_per_step = mfu = None
+    flops_per_step = mfu = flops_source = None
     device_kind = jax.devices()[0].device_kind
     if getattr(trainer, "step_cost_analysis", None):
         flops_per_step = trainer.step_cost_analysis["flops"] / max(1, args.spd)
+        flops_source = trainer.step_cost_analysis.get("source")
         if mesh is not None:
             flops_per_step /= mesh.size
-        from tools.flops_breakdown import CHIP_PEAKS
+        from object_intrinsics_tpu.utils.flops import CHIP_PEAKS
 
         peak = CHIP_PEAKS.get(device_kind)
         if peak:
@@ -164,6 +165,7 @@ def main():
                     "device_kind": device_kind,
                     "model_flops_per_step": flops_per_step,
                     "mfu_vs_bf16_peak": mfu,
+                    "flops_source": flops_source,
                 }
             }
         ),

@@ -560,6 +560,20 @@ class Trainer:
                 self.step_cost_analysis = {
                     "flops": float(ca["flops"]),
                     "bytes_accessed": float(ca.get("bytes accessed", 0.0)),
+                    "source": "xla-cost-analysis",
+                }
+                return
+            # backend-optional: the axon tunnel returns None — price the
+            # GEMMs/convs from the lowered StableHLO instead (93.3% of the
+            # XLA-counted total at the parity config; utils/flops docstring)
+            from object_intrinsics_tpu.utils.flops import matmul_conv_flops
+
+            total = matmul_conv_flops(lowered.as_text())
+            if total:
+                self.step_cost_analysis = {
+                    "flops": total,
+                    "bytes_accessed": 0.0,
+                    "source": "stablehlo-matmul-conv",
                 }
         except Exception:  # noqa: BLE001 - backend-optional API, never fatal
             pass
