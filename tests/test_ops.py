@@ -292,6 +292,11 @@ def test_fast_sin_phase_guard_trips(monkeypatch):
     jax.grad(loss)(x)  # in-range: must not raise
     with pytest.raises(FloatingPointError, match="reduction range"):
         jax.block_until_ready(fs.apply_film_siren(p, x * 1e6, style))
+        # debug.callback exceptions surface asynchronously (a callback
+        # thread records them; block_until_ready of the VALUE can win the
+        # race under suite load — observed as a DID-NOT-RAISE flake).
+        # effects_barrier is the documented sync point for side effects.
+        jax.effects_barrier()
 
 
 def test_resnet_block_matches_reference_torch():
