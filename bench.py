@@ -39,10 +39,9 @@ def main():
 
     import jax
 
-    if os.environ.get("JAX_PLATFORMS"):
-        # the axon sitecustomize force-selects the TPU tunnel and ignores the
-        # env var; honor it here so CPU smoke runs don't touch the chip
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from object_intrinsics_tpu.utils.platform import honor_jax_platforms
+
+    honor_jax_platforms()
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
@@ -117,15 +116,18 @@ def main():
 
     # Three timed windows (r4 verdict weak #5: single-window numbers had an
     # uncharacterized ~1.3% spread on the shared tunnel host). Headline is
-    # the MEDIAN rate; the last window is 2x long so a dispatch-await bug
-    # (rate inflating with window length mismatch) still shows in the spread.
+    # the MIN rate: an un-awaited-dispatch bug inflates rates (work spills
+    # past the sync), and it inflates SHORT windows more — min picks the
+    # most truthful window under that failure mode while costing <=spread
+    # (~1%) under honest noise; the last window is 2x long so such a bug
+    # also shows as a rate that falls with window length.
     rates = []
     for w, (mult, base) in enumerate([(1, 100), (1, 300), (2, 500)]):
         t0 = time.time()
         stats, n = run_steps(args.steps * mult, base)
         sync(stats)
         rates.append(n / (time.time() - t0))
-    it_per_sec = sorted(rates)[len(rates) // 2]
+    it_per_sec = min(rates)
     spread_pct = (max(rates) - min(rates)) / it_per_sec * 100
 
     # MFU: exact XLA-counted flops of the lowered step (stashed by the
@@ -134,10 +136,17 @@ def main():
     flops_per_step = mfu = flops_source = None
     device_kind = jax.devices()[0].device_kind
     if getattr(trainer, "step_cost_analysis", None):
-        flops_per_step = trainer.step_cost_analysis["flops"] / max(1, args.spd)
+        # The stash is already per-device AND per-step with no correction
+        # needed for --mesh or --spd (both verified empirically):
+        #   * cost_analysis of a shard_map program reports the per-shard
+        #     body's flops, not the global program's — dividing by
+        #     mesh.size again would under-report MFU mesh.size-fold;
+        #   * cost_analysis counts a lax.scan body ONCE regardless of trip
+        #     count (and the StableHLO fallback prices the body text once),
+        #     so the --spd K scan block already reads as one step's flops.
+        # MFU = per-device flops/step x global steps/sec / per-chip peak.
+        flops_per_step = trainer.step_cost_analysis["flops"]
         flops_source = trainer.step_cost_analysis.get("source")
-        if mesh is not None:
-            flops_per_step /= mesh.size
         from object_intrinsics_tpu.utils.flops import CHIP_PEAKS
 
         peak = CHIP_PEAKS.get(device_kind)

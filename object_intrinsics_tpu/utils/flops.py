@@ -9,6 +9,14 @@ matmul+conv share is 93.3% of the XLA-counted total (measured on the CPU
 lowering, docs/results/flops_breakdown.txt), so the fallback undercounts
 MFU by ~7% — the emitted ``flops_source`` field says which count a number
 came from. Full decomposition + roofline: tools/flops_breakdown.py.
+
+Conv caveat: the convolution formula assumes the forward HWIO kernel
+layout (2*kh*kw*cin per output element); the backward's grad-x/grad-w
+convolutions carry transposed/activation-shaped rhs operands and are
+mispriced by ~10-15% each. Convs are 1.2% of the parity step's flops so
+the MFU impact there is <0.2%, but do not trust the fallback for a
+conv-dominated model — use the CPU lowering's exact cost_analysis
+(tools/flops_breakdown.py) instead.
 """
 import collections
 import math

@@ -18,10 +18,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-if os.environ.get("JAX_PLATFORMS"):
-    # the axon sitecustomize force-selects the TPU tunnel and ignores the env
-    # var; honor it here so JAX_PLATFORMS=cpu smoke runs stay off the chip
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+from object_intrinsics_tpu.utils.platform import honor_jax_platforms
+
+honor_jax_platforms()
 
 # Persistent compilation cache: the fused train step is a large XLA program
 # (~minutes to compile); cache it across processes.

@@ -63,8 +63,9 @@ def main():
 
     import jax
 
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from object_intrinsics_tpu.utils.platform import honor_jax_platforms
+
+    honor_jax_platforms()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
     from serve import create_server

@@ -35,10 +35,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-if os.environ.get("JAX_PLATFORMS"):
-    # the axon sitecustomize force-selects the TPU tunnel and ignores the
-    # env var; honor it so fixtures can be generated off-chip
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+from object_intrinsics_tpu.utils.platform import honor_jax_platforms
+
+honor_jax_platforms()  # fixtures can be generated off-chip
 
 
 def box_fns(inv_s=600.0):

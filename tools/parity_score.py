@@ -192,20 +192,28 @@ def main():
     ap.add_argument("-n", "--n-renders", type=int, default=64)
     ap.add_argument("--ema", type=float, default=None)
     ap.add_argument("--bs", type=int, default=8, help="renders per device call")
-    ap.add_argument("-o", "--out", default="docs/results/parity_metrics.json")
+    ap.add_argument("-o", "--out", default=None,
+                    help="metrics JSON to write (default: "
+                         "docs/results/parity_metrics.json in plain scoring "
+                         "mode; NO file in --assert-thresholds mode, so a "
+                         "gate run never clobbers the committed artifact the "
+                         "thresholds were derived from — pass -o to keep it)")
     ap.add_argument("--assert-thresholds", metavar="FILE", default=None,
                     help="threshold spec JSON ({dotted.path: {min/max}}); "
                          "exit 1 if any metric violates it (the release gate)")
     args = ap.parse_args()
+    if args.out is None and not args.assert_thresholds:
+        args.out = "docs/results/parity_metrics.json"
 
     metrics = compute_metrics(args.path, n_renders=args.n_renders, bs=args.bs,
                               ema=args.ema)
 
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(metrics, f, indent=2, sort_keys=True)
     print(json.dumps(metrics, indent=2, sort_keys=True))
-    print(f"\nwrote {args.out}")
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(metrics, f, indent=2, sort_keys=True)
+        print(f"\nwrote {args.out}")
 
     if args.assert_thresholds:
         with open(args.assert_thresholds) as f:
