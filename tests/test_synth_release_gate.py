@@ -1,0 +1,66 @@
+"""Volumetric-recovery gate on the synth-hemisphere release weights.
+
+The strongest fidelity check the repo has: release/synth_hemi was trained
+on a fixture whose ground-truth geometry is known in closed form
+(tools/make_synthetic_dataset.py), so CI can assert the learned SDF
+actually recovers the 3D asset — not just that renders look plausible.
+Reduced version of tools/eval_synth_recovery.py (one prior-draw latent,
+48³ grid, 24 yaw steps about the Hemisphere prior's free azimuth axis);
+the full 96³ scoring measured IoU 0.65-0.70 across latents
+(docs/results/synth_recovery_hemi.json), so the 0.5 floor here has wide
+slack while still failing hard on a broken field (a collapsed or
+sphere-init SDF scores <0.1). Skips when the release is absent.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+RELEASE = os.path.join(REPO, "release", "synth_hemi")
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(RELEASE, "checkpoints", "model.npz")),
+    reason="release/synth_hemi weights not present",
+)
+
+
+def test_release_recovers_gt_volume():
+    import jax
+    import jax.numpy as jnp
+
+    from eval_synth_recovery import gt_sdf_np, yaw_rot
+
+    from object_intrinsics_tpu.models import fields
+    from object_intrinsics_tpu.utils.test import inference_setup
+
+    cfg, model, info = inference_setup(RELEASE, ema=0.99)
+    assert model is not None
+    sdf_p = model["params"]["sdf_network"]
+
+    n = 48
+    axis = np.linspace(-1.0, 1.0, n, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(axis, axis, axis, indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+
+    z_dim = int(np.asarray(sdf_p["style"][0]["w"]).shape[0])
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, z_dim))
+    w = fields.shape_style(sdf_p, z)
+    vals = np.asarray(fields.shape_sdf(sdf_p, jnp.asarray(pts)[None], w)[0, :, 0])
+    occ = (vals < 0.0).reshape(n, n, n)
+
+    # gauge search over the prior's free azimuth (z for Hemisphere)
+    best = 0.0
+    for theta in np.linspace(0.0, 2 * np.pi, 24, endpoint=False):
+        rp = pts @ yaw_rot(theta, "z").T.astype(np.float32)
+        occ_gt = (gt_sdf_np(rp) < 0.0).reshape(n, n, n)
+        inter = np.logical_and(occ, occ_gt).sum()
+        union = np.logical_or(occ, occ_gt).sum()
+        best = max(best, float(inter) / max(float(union), 1.0))
+
+    # sanity on the occupied fraction too: a field that fills (or empties)
+    # space can't pass, independent of yaw
+    assert 0.01 < occ.mean() < 0.15, f"degenerate occupancy {occ.mean():.4f}"
+    assert best > 0.5, f"volumetric IoU {best:.3f} (full-grid score was 0.65+)"
