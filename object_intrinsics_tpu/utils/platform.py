@@ -15,6 +15,13 @@ def honor_jax_platforms() -> None:
 
     Must run before the backend initializes (first device/array use);
     a no-op when the env var is unset or jax is already configured to it.
+
+    Footgun: the container EXPORTS ``JAX_PLATFORMS=axon`` ambiently, so in a
+    process that counter-overrode the config directly (the test suite's
+    conftest forces cpu), calling this re-applies *axon* and flips the
+    process back onto the tunnel. Such processes must scrub the env var
+    itself (``os.environ["JAX_PLATFORMS"] = "cpu"``, as tests/conftest.py
+    does), not just update the config.
     """
     want = os.environ.get("JAX_PLATFORMS")
     if want:

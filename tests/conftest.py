@@ -10,6 +10,14 @@ import os
 # CLI-smoke tests exec scripts/train.py; don't spawn TensorBoard servers in CI.
 os.environ.setdefault("OI_TB", "0")
 
+# The container EXPORTS JAX_PLATFORMS=axon ambiently. Any test that imports a
+# CLI entry point re-applies that env var through honor_jax_platforms() —
+# which would flip the whole suite from the conftest's CPU mesh back onto the
+# TPU tunnel mid-run (observed: the phase-guard test taking the axon NaN
+# branch after test_eval_chunking exec'd scripts/test.py). Scrub the env var
+# itself so both in-process honor() calls and subprocess CLI smokes see cpu.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
