@@ -153,9 +153,12 @@ def main():
         if peak:
             mfu = round(flops_per_step * it_per_sec / peak[0], 4)
 
-    rays_per_sec = it_per_sec * args.bs * 128 * 128 * 3  # 3 renders per step
+    # args.bs was rescaled to the GLOBAL batch under --mesh; report the
+    # per-chip rate the label promises (3 renders per step)
+    bs_per_chip = args.bs // (mesh.size if mesh is not None else 1)
+    rays_per_sec = it_per_sec * bs_per_chip * 128 * 128 * 3
     result = {
-        "metric": "train_iters_per_sec (data/example, 128px, bs=1/chip, 3 renders/step)",
+        "metric": f"train_iters_per_sec (data/example, 128px, bs={bs_per_chip}/chip, 3 renders/step)",
         "value": round(it_per_sec, 4),
         "unit": "it/s",
         "vs_baseline": round(it_per_sec / REFERENCE_IT_PER_SEC, 4),

@@ -25,9 +25,7 @@ the trainer at AOT-lower time) against the measured step time.
 import argparse
 import collections
 import json
-import math
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
