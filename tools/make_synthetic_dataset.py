@@ -129,7 +129,8 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--fov", type=float, default=10.0)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--prior", choices=["plane", "hemisphere"], default="plane")
+    ap.add_argument("--prior", choices=["plane", "hemisphere", "sphere"],
+                    default="plane")
     args = ap.parse_args()
 
     import object_intrinsics_tpu  # noqa: F401
@@ -140,6 +141,14 @@ def main():
     if args.prior == "hemisphere":
         prior_cfg = {
             "__target__": "object_intrinsics_tpu.utils.pose_sampler.Hemisphere",
+            "kwargs": {},
+        }
+    elif args.prior == "sphere":
+        # view-cone-filtered uniform rotations + free roll about canonical z
+        # (reference src/utils/pose_sampler.py:28-60) — the third and last
+        # prior family; its gauge axis for eval is z, like Hemisphere's
+        prior_cfg = {
+            "__target__": "object_intrinsics_tpu.utils.pose_sampler.Sphere",
             "kwargs": {},
         }
     else:
@@ -172,6 +181,11 @@ def main():
     if args.prior == "hemisphere":
         prior_yaml = """b2w_scene_prior:
   __target__: src.utils.pose_sampler.Hemisphere
+  kwargs: {}
+"""
+    elif args.prior == "sphere":
+        prior_yaml = """b2w_scene_prior:
+  __target__: src.utils.pose_sampler.Sphere
   kwargs: {}
 """
     else:
