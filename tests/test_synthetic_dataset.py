@@ -87,6 +87,48 @@ def test_train_cli_end_to_end_on_synth(synth_dir, tmp_path, monkeypatch):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.parametrize("prior", ["hemisphere", "sphere"])
+def test_fixture_generates_for_every_prior_family(tmp_path, prior):
+    """--prior hemisphere/sphere (the non-default families, both trained
+    end-to-end on the chip: release/synth_hemi and the sphere30k run) keep
+    producing valid crops + a cfg.yaml whose reference-dotted target
+    resolves through our registry."""
+    import yaml
+
+    out = tmp_path / f"synth_{prior}"
+    argv = sys.argv
+    sys.argv = ["make_synthetic_dataset.py", "-o", str(out), "-n", "4",
+                "--size", "32", "--prior", prior]
+    try:
+        import make_synthetic_dataset
+
+        make_synthetic_dataset.main()
+    finally:
+        sys.argv = argv
+
+    from object_intrinsics_tpu.data.dataset import Dataset
+    from object_intrinsics_tpu.utils.config import build_from_config
+
+    ds = Dataset(resolution=32, dataset_folder=str(out))
+    assert len(ds) == 4
+    fills = ds.alpha[..., 0].reshape(4, -1).mean(-1)
+    assert fills.min() > 0.02 and fills.max() < 0.9
+    assert np.ptp(fills) > 0.005, fills  # poses differ across instances
+
+    with open(out / "cfg.yaml") as f:
+        cfg = yaml.safe_load(f)
+    target = cfg["b2w_scene_prior"]["__target__"]
+    assert target == f"src.utils.pose_sampler.{prior.capitalize()}"
+    sampler = build_from_config(cfg["b2w_scene_prior"])  # src.* alias resolves
+    import jax
+
+    b2w = np.asarray(sampler(jax.random.PRNGKey(0), 3))
+    assert b2w.shape == (3, 4, 4)
+    R = b2w[:, :3, :3]
+    np.testing.assert_allclose(R @ np.swapaxes(R, 1, 2),
+                               np.broadcast_to(np.eye(3), (3, 3, 3)), atol=1e-5)
+
+
 def test_recovery_eval_gt_matches_fixture_sdf():
     """tools/eval_synth_recovery duplicates the fixture's GT constants in
     numpy; pin them to the jax box_fns so they can't drift apart."""
