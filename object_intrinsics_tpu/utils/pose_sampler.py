@@ -86,6 +86,24 @@ class Sphere(BasePose):
     def canonical_vec(self) -> np.ndarray:
         return self._canonical_vec
 
+    @property
+    def canonical(self) -> np.ndarray:
+        """Representative display pose: the rotation mapping the canonical
+        axis to the center of the acceptance band (vec = (0, -0.2, -0.98)),
+        zero roll. The reference raises NotImplementedError here and
+        instead special-cases its Sphere datasets by folder name in
+        scripts/test.py:24-31 ('rose'); defining a canonical makes camera/
+        latent walks work for ANY Sphere-prior dataset (e.g.
+        data/synth_sphere) without a named hack.
+        """
+        f = np.array([0.0, -0.2, -np.sqrt(1.0 - 0.04)], dtype=np.float64)
+        up = np.array([0.0, 1.0, 0.0])
+        r = np.cross(up, f)
+        r /= np.linalg.norm(r)
+        u = np.cross(f, r)
+        rot = np.stack([r, u, f], axis=-1)  # columns: rot @ z = f
+        return mat_33_to_44_np(rot)
+
     def __call__(self, key: jax.Array, bs: int) -> jnp.ndarray:
         k_rot, k_roll = jax.random.split(key)
         n = bs * self.OVERSAMPLE

@@ -98,6 +98,25 @@ def test_sphere_sampler_view_cone():
     assert np.allclose(np.linalg.norm(t, axis=-1), 1.0, atol=1e-4)
 
 
+def test_sphere_canonical_is_a_valid_in_band_pose():
+    """Sphere.canonical (our extension: the reference raises and relies on
+    per-dataset name hacks in scripts/test.py:24-31) must be a proper
+    rotation whose forward direction lies inside the sampler's own
+    acceptance band — so camera walks composed about canonical_vec show
+    plausible views for any Sphere-prior dataset."""
+    from object_intrinsics_tpu.utils.pose_sampler import Sphere
+
+    sampler = Sphere()
+    c = sampler.canonical
+    assert c.shape == (4, 4)
+    assert np.allclose(c[:3, 3], 0.0)
+    R = c[:3, :3]
+    assert np.allclose(R @ R.T, np.eye(3), atol=1e-6)
+    assert np.isclose(np.linalg.det(R), 1.0, atol=1e-6)
+    vec = R @ sampler.canonical_vec
+    assert vec[2] < 0 and -0.7 < vec[1] < 0.3
+
+
 def test_hemisphere_sampler_rotation_only():
     sampler = Hemisphere()
     b2w = np.asarray(sampler(jax.random.PRNGKey(2), 32))
