@@ -1,18 +1,19 @@
-"""Volumetric-recovery gate on the synth-hemisphere release weights.
+"""Volumetric-recovery gates on the synthetic release weights.
 
-The strongest fidelity check the repo has: release/synth_hemi was trained
-on a fixture whose ground-truth geometry is known in closed form
-(tools/make_synthetic_dataset.py), so CI can assert the learned SDF
-actually recovers the 3D asset — not just that renders look plausible.
-Reduced version of tools/eval_synth_recovery.py (one prior-draw latent,
-48³ grid, 24 yaw steps about the Hemisphere prior's free azimuth axis).
-The full 96³ scoring of the shipped 100k release measured IoU 0.81-0.82
-at prior draws and 0.65 at z=0 (docs/results/synth_recovery_hemi.json);
-the latent drawn here (PRNGKey(0), not one of the artifact's draws) is
-another prior sample, so the 0.5 floor leaves wide slack for latent- and
-grid-resolution variation while still failing hard on a broken field
-(a collapsed or sphere-init SDF scores <0.1). Skips when the release is
-absent.
+The strongest fidelity check the repo has: release/synth_hemi and
+release/synth_sphere were trained on fixtures whose ground-truth geometry
+is known in closed form (tools/make_synthetic_dataset.py), so CI can
+assert the learned SDF actually recovers the 3D asset — not just that
+renders look plausible. Reduced version of tools/eval_synth_recovery.py
+(one prior-draw latent, 48³ grid, 24 yaw steps about the prior's free
+z axis — azimuth for Hemisphere, roll for Sphere).
+
+Floors leave wide slack below the full 96³ artifact scores
+(docs/results/synth_recovery_{hemi,sphere}.json: hemi 100k 0.81-0.82,
+sphere 30k see JSON) for latent- and grid-resolution variation — the
+latent drawn here (PRNGKey(0)) is not one of the artifact's draws — while
+still failing hard on a broken field (a collapsed or sphere-init SDF
+scores <0.1). Each gate skips when its release is absent.
 """
 import os
 import sys
@@ -21,16 +22,23 @@ import numpy as np
 import pytest
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
-RELEASE = os.path.join(REPO, "release", "synth_hemi")
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(os.path.join(RELEASE, "checkpoints", "model.npz")),
-    reason="release/synth_hemi weights not present",
+
+def _release(name):
+    return os.path.join(REPO, "release", name)
+
+
+@pytest.mark.parametrize(
+    "name,iou_floor",
+    [("synth_hemi", 0.5),    # 100k run; full-grid prior-draw score 0.81+
+     ("synth_sphere", 0.4)], # 30k run; shorter training, lower floor
 )
+def test_release_recovers_gt_volume(name, iou_floor):
+    release = _release(name)
+    if not os.path.exists(os.path.join(release, "checkpoints", "model.npz")):
+        pytest.skip(f"release/{name} weights not present")
 
-
-def test_release_recovers_gt_volume():
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +47,7 @@ def test_release_recovers_gt_volume():
     from object_intrinsics_tpu.models import fields
     from object_intrinsics_tpu.utils.test import inference_setup
 
-    cfg, model, info = inference_setup(RELEASE, ema=0.99)
+    cfg, model, info = inference_setup(release, ema=0.99)
     assert model is not None
     sdf_p = model["params"]["sdf_network"]
 
@@ -54,7 +62,7 @@ def test_release_recovers_gt_volume():
     vals = np.asarray(fields.shape_sdf(sdf_p, jnp.asarray(pts)[None], w)[0, :, 0])
     occ = (vals < 0.0).reshape(n, n, n)
 
-    # gauge search over the prior's free azimuth (z for Hemisphere)
+    # gauge search over the prior's free rotation about z
     best = 0.0
     for theta in np.linspace(0.0, 2 * np.pi, 24, endpoint=False):
         rp = pts @ yaw_rot(theta, "z").T.astype(np.float32)
@@ -66,4 +74,5 @@ def test_release_recovers_gt_volume():
     # sanity on the occupied fraction too: a field that fills (or empties)
     # space can't pass, independent of yaw
     assert 0.01 < occ.mean() < 0.15, f"degenerate occupancy {occ.mean():.4f}"
-    assert best > 0.5, f"volumetric IoU {best:.3f} (full-grid prior-draw score was 0.81+)"
+    assert best > iou_floor, (
+        f"{name}: volumetric IoU {best:.3f} < floor {iou_floor}")
