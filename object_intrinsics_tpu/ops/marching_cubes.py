@@ -4,9 +4,21 @@ The reference uses the external ``mcubes`` package behind an import guard
 (src/third_party/neus/models/renderer.py:6-10, 15-41, 475-492) and neither
 CLI calls it. Here extraction is self-contained: the SDF evaluates on a
 dense grid in jit-sized chunks (device), and the isosurface triangulates
-with *marching tetrahedra* in vectorized numpy — table-free, watertight,
-slightly denser meshes than marching cubes but identical surfaces for
-rendering/inspection purposes. OBJ export included.
+in vectorized numpy with either
+
+- **marching cubes** (default, the reference's ``mcubes`` analog):
+  table-driven, vertices on grid edges only, globally deduplicated. The
+  256-case table is *constructed* at import rather than transcribed:
+  connected components of the hot corners -> cut edges -> boundary cycles
+  traced by pairing cut edges per cube face (ambiguous faces resolve by
+  the fixed "separate the hot diagonal" rule, which depends only on the
+  face's own signs, so adjacent cubes always agree) -> oriented triangle
+  fans. Watertight by construction; `tests/test_marching_cubes.py` proves
+  closed-manifold output for every one of the 256 cases.
+- **marching tetrahedra** (``method='tets'``): table-free 6-tet
+  decomposition, denser meshes, kept as the independent cross-check.
+
+OBJ export included.
 """
 from __future__ import annotations
 
@@ -153,19 +165,222 @@ def marching_tetrahedra(
     return uniq.astype(np.float32), faces
 
 
+# ---------------------------------------------------------------------------
+# Marching cubes (table-driven; reference renderer.py:31 `mcubes.marching_cubes`
+# analog). Corner i sits at offset ((i>>2)&1, (i>>1)&1, i&1) — the same
+# x*4 + y*2 + z convention as the tetrahedra path above. "Hot" = value > 0
+# after threshold subtraction; triangles are wound so normals point from hot
+# to cold (outward for the -sdf convention used by extract_geometry).
+# ---------------------------------------------------------------------------
+
+_MC_CORNER_OFFSETS = np.array(
+    [[(i >> 2) & 1, (i >> 1) & 1, i & 1] for i in range(8)], dtype=np.int64
+)
+# The 12 cube edges: corner pairs differing in exactly one bit, a < b (so a
+# holds the 0 side of the differing axis).
+_MC_EDGES = [
+    (a, b)
+    for a in range(8)
+    for b in range(a + 1, 8)
+    if bin(a ^ b).count("1") == 1
+]
+# Axis of each edge: which coordinate differs (0=x, 1=y, 2=z).
+_MC_EDGE_AXIS = np.array(
+    [2 - (a ^ b).bit_length() + 1 for a, b in _MC_EDGES], dtype=np.int64
+)
+
+
+def _mc_faces():
+    """The 6 cube faces as corner indices in cyclic order."""
+    faces = []
+    for bit in range(3):  # bit position within the corner index
+        for val in (0, 1):
+            others = [b for b in range(3) if b != bit]
+            cyc = []
+            for u, v in [(0, 0), (1, 0), (1, 1), (0, 1)]:
+                cyc.append((val << bit) | (u << others[0]) | (v << others[1]))
+            faces.append(cyc)
+    return faces
+
+
+def _build_mc_table():
+    """Triangle table for all 256 sign cases; entry = (T, 3) array of edge ids.
+
+    Construction (instead of transcribing the classic Lorensen table): for
+    each case, take connected components of the hot corners, collect each
+    component's cut edges, pair cut edges that are consecutive on a cube
+    face (an ambiguous face — two hot corners on a diagonal — always pairs
+    each hot corner with its own two adjacent cut edges, a rule that is a
+    function of the face's signs alone, hence identical in the neighboring
+    cube: watertightness across cubes), trace the pairing into closed
+    cycles, orient each cycle hot->cold via its Newell area vector, and fan-
+    triangulate. Unlike the classic table this is hole-free for every
+    adjacent-case combination (the classic one is not; mcubes inherits its
+    rare cracks).
+    """
+    edge_id = {e: k for k, e in enumerate(_MC_EDGES)}
+    adj = {i: [i ^ (1 << s) for s in range(3)] for i in range(8)}
+    faces = _mc_faces()
+    corner_pos = _MC_CORNER_OFFSETS.astype(np.float64)
+
+    table = []
+    for case in range(256):
+        hotset = {i for i in range(8) if case >> i & 1}
+        # connected components of the hot corners
+        comps, seen = [], set()
+        for h in sorted(hotset):
+            if h in seen:
+                continue
+            comp, stack = set(), [h]
+            while stack:
+                x = stack.pop()
+                if x in comp:
+                    continue
+                comp.add(x)
+                stack.extend(n for n in adj[x] if n in hotset and n not in comp)
+            seen |= comp
+            comps.append(comp)
+
+        tris = []
+        for comp in comps:
+            cut = [e for e in _MC_EDGES if (e[0] in comp) != (e[1] in comp)]
+            cutset = set(cut)
+            nbrs = {e: [] for e in cut}
+            for fc in faces:
+                fedges = []
+                for k in range(4):
+                    a, b = fc[k], fc[(k + 1) % 4]
+                    e = (min(a, b), max(a, b))
+                    if e in cutset:
+                        fedges.append(e)
+                if len(fedges) == 2:
+                    a, b = fedges
+                    nbrs[a].append(b)
+                    nbrs[b].append(a)
+                elif len(fedges) == 4:
+                    # ambiguous face: this component holds both diagonal hot
+                    # corners; separate them (each keeps its adjacent pair).
+                    for hc in (c for c in fc if c in comp):
+                        ea, eb = [e for e in fedges if hc in e]
+                        nbrs[ea].append(eb)
+                        nbrs[eb].append(ea)
+            # every cut edge lies on exactly 2 faces -> exactly 2 partners
+            assert all(len(v) == 2 for v in nbrs.values()), (case, comp)
+
+            unvisited = set(cut)
+            while unvisited:
+                start = min(unvisited)
+                cycle, prev, cur = [start], None, start
+                unvisited.discard(start)
+                while True:
+                    nxt = next(n for n in nbrs[cur] if n != prev)
+                    if nxt == start:
+                        break
+                    cycle.append(nxt)
+                    unvisited.discard(nxt)
+                    prev, cur = cur, nxt
+                # orient: Newell area vector vs hot->cold direction
+                mids = np.array(
+                    [(corner_pos[a] + corner_pos[b]) / 2 for a, b in cycle]
+                )
+                area = np.zeros(3)
+                for i in range(len(mids)):
+                    area += np.cross(mids[i], mids[(i + 1) % len(mids)])
+                hot_c = np.mean([corner_pos[a if a in comp else b] for a, b in cycle], axis=0)
+                cold_c = np.mean([corner_pos[b if a in comp else a] for a, b in cycle], axis=0)
+                if float(area @ (cold_c - hot_c)) < 0:
+                    cycle.reverse()
+                ids = [edge_id[e] for e in cycle]
+                tris.extend((ids[0], ids[i], ids[i + 1]) for i in range(1, len(ids) - 1))
+        table.append(np.array(tris, dtype=np.int64).reshape(-1, 3))
+    return table
+
+
+_MC_TRI_TABLE = _build_mc_table()
+
+
+def marching_cubes(
+    field: np.ndarray, threshold: float = 0.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Isosurface of ``field`` (X, Y, Z) at ``threshold`` -> (verts (V, 3) in
+    voxel coords, faces (F, 3)). Vertices lie on grid edges and are shared
+    exactly (keyed by grid edge, no rounding); faces wind so normals point
+    toward ``field < threshold``."""
+    f = np.asarray(field, dtype=np.float64) - threshold
+    X, Y, Z = f.shape
+    hot = f > 0
+
+    # case id per cube, bit i = corner i hot
+    case = np.zeros((X - 1, Y - 1, Z - 1), dtype=np.int64)
+    for i, (ox, oy, oz) in enumerate(_MC_CORNER_OFFSETS):
+        case |= hot[ox : ox + X - 1, oy : oy + Y - 1, oz : oz + Z - 1].astype(np.int64) << i
+    case_flat = case.ravel()
+
+    tri_cube, tri_edge = [], []
+    for c in np.unique(case_flat):
+        tris = _MC_TRI_TABLE[c]
+        if tris.size == 0:
+            continue
+        sel = np.nonzero(case_flat == c)[0]  # (S,)
+        tri_cube.append(np.repeat(sel, len(tris)))  # (S*T,)
+        tri_edge.append(np.tile(tris, (len(sel), 1)))  # (S*T, 3)
+    if not tri_cube:
+        return np.zeros((0, 3), dtype=np.float32), np.zeros((0, 3), dtype=np.int64)
+    tri_cube = np.concatenate(tri_cube)  # (N,)
+    tri_edge = np.concatenate(tri_edge)  # (N, 3)
+
+    # global edge key per (cube, local edge): low-corner grid coords + axis
+    cy, cz = Y - 1, Z - 1
+    ox = tri_cube[:, None] // (cy * cz)
+    oy = tri_cube[:, None] // cz % cy
+    oz = tri_cube[:, None] % cz
+    lo = np.array([_MC_CORNER_OFFSETS[a] for a, _ in _MC_EDGES], dtype=np.int64)  # (12, 3)
+    gx = ox + lo[tri_edge, 0]
+    gy = oy + lo[tri_edge, 1]
+    gz = oz + lo[tri_edge, 2]
+    axis = _MC_EDGE_AXIS[tri_edge]
+    key = ((gx * Y + gy) * Z + gz) * 3 + axis  # (N, 3)
+
+    uniq, inverse = np.unique(key.ravel(), return_inverse=True)
+    faces_out = inverse.reshape(-1, 3)
+
+    # interpolate one vertex per unique cut grid edge
+    uax = uniq % 3
+    ulin = uniq // 3
+    ux, uy, uz = ulin // (Y * Z), ulin // Z % Y, ulin % Z
+    va = f[ux, uy, uz]
+    step = np.eye(3, dtype=np.int64)[uax]
+    vb = f[ux + step[:, 0], uy + step[:, 1], uz + step[:, 2]]
+    denom = va - vb
+    denom = np.where(np.abs(denom) < 1e-30, 1e-30, denom)
+    t = np.clip(va / denom, 0.0, 1.0)
+    verts = np.stack([ux, uy, uz], axis=-1).astype(np.float64) + t[:, None] * step
+    return verts.astype(np.float32), faces_out
+
+
 def extract_geometry(
     bound_min,
     bound_max,
     resolution: int,
     threshold: float,
     query_fn: Callable[[np.ndarray], np.ndarray],
+    method: str = "cubes",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Mesh of {query_fn == threshold} in world coords (renderer.py:33-41).
+
+    ``method='cubes'`` (default) is the reference's mcubes analog (vertices
+    on grid edges, outward normals for the -sdf convention);
+    ``method='tets'`` is the denser marching-tetrahedra cross-check.
 
     NOTE: the reference meshes ``-sdf`` and thresholds at 0 (renderer.py:475-492
     query_func returns -sdf); pass query_fn accordingly."""
     u = extract_fields(bound_min, bound_max, resolution, query_fn)
-    verts, faces = marching_tetrahedra(u, threshold)
+    if method == "cubes":
+        verts, faces = marching_cubes(u, threshold)
+    elif method == "tets":
+        verts, faces = marching_tetrahedra(u, threshold)
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'cubes' or 'tets')")
     bound_min = np.asarray(bound_min, dtype=np.float32)
     bound_max = np.asarray(bound_max, dtype=np.float32)
     verts = verts / (resolution - 1.0) * (bound_max - bound_min)[None] + bound_min[None]

@@ -7,8 +7,9 @@
 Parity: the reference exposes extract_geometry on the NeuS renderer via the
 external ``mcubes`` package (neus/models/renderer.py:475-492) but no CLI ever
 calls it; here it is a first-class tool using the self-contained marching-
-tetrahedra implementation (ops/marching_cubes.py). The reference meshes
-``-sdf`` at threshold 0 — same convention here.
+cubes implementation (ops/marching_cubes.py; ``--method tets`` selects the
+denser marching-tetrahedra cross-check). The reference meshes ``-sdf`` at
+threshold 0 — same convention here.
 """
 import argparse
 import logging
@@ -42,6 +43,12 @@ def main():
     ap.add_argument("-z", "--seed", type=int, default=0, help="latent seed")
     ap.add_argument("--mean-z", action="store_true", help="use the zero latent")
     ap.add_argument("--bound", type=float, default=1.0)
+    ap.add_argument(
+        "--method",
+        choices=["cubes", "tets"],
+        default="cubes",
+        help="triangulation: marching cubes (mcubes parity) or tetrahedra",
+    )
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args()
 
@@ -71,7 +78,8 @@ def main():
 
     b = args.bound
     verts, faces = extract_geometry(
-        [-b, -b, -b], [b, b, b], args.resolution, args.threshold, query
+        [-b, -b, -b], [b, b, b], args.resolution, args.threshold, query,
+        method=args.method,
     )
     out = args.out or os.path.join(
         "logs", "meshes", f"{os.path.basename(str(args.path)).strip('/')}_it{model_info['it']}.obj"
