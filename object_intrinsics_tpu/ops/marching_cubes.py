@@ -31,17 +31,35 @@ logger = logging.getLogger(__name__)
 
 # Six tetrahedra decomposing a unit cube (corner indices into the 8 cube
 # corners, which are ordered by bit pattern (x, y, z) -> x*4 + y*2 + z).
-_CUBE_TETS = np.array(
-    [
-        [0, 5, 1, 3],
-        [0, 5, 3, 7],
-        [0, 5, 7, 4],
-        [0, 7, 3, 2],
-        [0, 7, 2, 6],
-        [0, 7, 6, 4],
-    ],
-    dtype=np.int64,
-)
+# This is the Kuhn decomposition — the six 0 -> 7 paths that set one bit at
+# a time, one per axis order. Its defining property here: every cube FACE is
+# split along the diagonal through that face's lowest and highest corner,
+# which is invariant under translation, so adjacent cubes cut their shared
+# face identically and the mesh is crack-free. (An earlier ad-hoc 6-tet
+# split used opposite diagonals on the z=0/z=1 faces and could leave
+# hairline cracks across z-interfaces.) Corner order within each tet is
+# normalized below to positive orientation so one winding table serves all.
+def _kuhn_tets() -> np.ndarray:
+    import itertools
+
+    tets = []
+    for order in itertools.permutations((4, 2, 1)):  # x, y, z bits
+        c, path = 0, [0]
+        for bit in order:
+            c |= bit
+            path.append(c)
+        tets.append(path)
+    tets = np.array(tets, dtype=np.int64)
+    # normalize parity: positive det((p1-p0, p2-p0, p3-p0))
+    pos = np.array([[(i >> 2) & 1, (i >> 1) & 1, i & 1] for i in range(8)], float)
+    for t in tets:
+        m = pos[t[1:]] - pos[t[0]]
+        if np.linalg.det(m) < 0:
+            t[2], t[3] = t[3], t[2]
+    return tets
+
+
+_CUBE_TETS = _kuhn_tets()
 
 # For each of the 16 sign patterns of a tet (bit i = corner i inside), the
 # edges (pairs of local corners) forming 0, 1 or 2 triangles.
@@ -75,7 +93,32 @@ def _tet_triangles(case: int):
     ]
 
 
-_TET_TRI_TABLE = [_tet_triangles(c) for c in range(16)]
+def _orient_tet_table():
+    """Fix each case's winding on a canonical positively-oriented tet so
+    triangle normals point toward the negative corners (the f < threshold
+    side — the same outward convention as the marching-cubes table). All
+    _CUBE_TETS are parity-normalized, and orientation-preserving affine maps
+    preserve winding, so one table serves every tet."""
+    P = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.float64)
+    table = []
+    for case in range(16):
+        vals = np.array([-1.0 if case >> i & 1 else 1.0 for i in range(4)])
+        tris_out = []
+        for tri in _tet_triangles(case):
+            pts = []
+            for e in tri:
+                a, b = _TET_EDGES[e]
+                t = vals[a] / (vals[a] - vals[b])
+                pts.append(P[a] + t * (P[b] - P[a]))
+            n = np.cross(pts[1] - pts[0], pts[2] - pts[0])
+            inside_c = P[vals < 0].mean(axis=0)
+            to_inside = inside_c - np.mean(pts, axis=0)
+            tris_out.append(tri if float(n @ to_inside) > 0 else tri[::-1])
+        table.append(tris_out)
+    return table
+
+
+_TET_TRI_TABLE = _orient_tet_table()
 
 
 def extract_fields(
@@ -102,30 +145,35 @@ def extract_fields(
 def marching_tetrahedra(
     field: np.ndarray, threshold: float = 0.0
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Isosurface of ``field`` (R, R, R) at ``threshold`` -> (verts (V, 3) in
+    """Isosurface of ``field`` (X, Y, Z) at ``threshold`` -> (verts (V, 3) in
     voxel coords, faces (F, 3)). Vectorized over all tets; vertices are
-    deduplicated per grid edge."""
-    R = field.shape[0]
-    f = field - threshold
-
-    # grid of cube-origin indices
-    idx = np.arange(R - 1)
-    cx, cy, cz = np.meshgrid(idx, idx, idx, indexing="ij")
-    origin = np.stack([cx, cy, cz], axis=-1).reshape(-1, 3)  # (C, 3)
+    deduplicated EXACTLY by their global tet-edge (lattice endpoint pair)
+    and interpolated once per edge in a canonical endpoint order — a
+    position-rounding dedup is not crack-safe: the same cut point computed
+    from opposite edge directions in two tets differs by ~1e-6 with float32
+    fields, which a 6-decimal round keeps distinct (observed as 248
+    boundary edges on the release-weights SDF). Faces wind so normals point
+    toward ``field < threshold``, matching marching_cubes."""
+    f = np.asarray(field, dtype=np.float64) - threshold
+    X, Y, Z = f.shape
+    nxc, nyc, nzc = X - 1, Y - 1, Z - 1
 
     corner_offsets = np.array(
         [[(i >> 2) & 1, (i >> 1) & 1, i & 1] for i in range(8)], dtype=np.int64
     )
-    # corner coords per cube: (C, 8, 3)
-    corners = origin[:, None, :] + corner_offsets[None]
-    corner_vals = f[corners[..., 0], corners[..., 1], corners[..., 2]]  # (C, 8)
+    # linear lattice index of each cube corner: (C, 8)
+    idx = np.arange(nxc * nyc * nzc, dtype=np.int64)
+    ox, oy, oz = idx // (nyc * nzc), idx // nzc % nyc, idx % nzc
+    corner_lin = (
+        (ox[:, None] + corner_offsets[None, :, 0]) * Y
+        + (oy[:, None] + corner_offsets[None, :, 1])
+    ) * Z + (oz[:, None] + corner_offsets[None, :, 2])
+    f_flat = f.ravel()
+    corner_vals = f_flat[corner_lin]  # (C, 8)
 
-    verts_list, faces_list = [], []
-    n_verts = 0
-    # edge key -> vertex index, deduplicated via unique keys per batch
+    ga_list, gb_list = [], []
     for tet in _CUBE_TETS:
         tv = corner_vals[:, tet]  # (C, 4)
-        tc = corners[:, tet]  # (C, 4, 3)
         case = ((tv < 0) * np.array([1, 2, 4, 8])).sum(axis=-1)  # (C,)
         for case_id in range(1, 15):
             tris = _TET_TRI_TABLE[case_id]
@@ -134,35 +182,38 @@ def marching_tetrahedra(
             sel = np.nonzero(case == case_id)[0]
             if sel.size == 0:
                 continue
-            v_sel = tv[sel]  # (S, 4)
-            c_sel = tc[sel]  # (S, 4, 3)
-            # interpolated vertex per referenced edge
-            edge_vert = {}
-            for e_local, (a, b) in enumerate(_TET_EDGES):
-                va, vb = v_sel[:, a], v_sel[:, b]
-                denom = va - vb
-                denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
-                t = np.clip(va / denom, 0.0, 1.0)
-                edge_vert[e_local] = c_sel[:, a].astype(np.float64) + t[:, None] * (
-                    c_sel[:, b] - c_sel[:, a]
-                )
-            for tri in tris:
-                pts = np.stack([edge_vert[e] for e in tri], axis=1)  # (S, 3, 3)
-                verts_list.append(pts.reshape(-1, 3))
-                faces_list.append(
-                    np.arange(n_verts, n_verts + 3 * len(sel)).reshape(-1, 3)
-                )
-                n_verts += 3 * len(sel)
+            # per triangle vertex: the tet edge's two cube-corner ids
+            A = np.array([[tet[_TET_EDGES[e][0]] for e in tri] for tri in tris])
+            B = np.array([[tet[_TET_EDGES[e][1]] for e in tri] for tri in tris])
+            cl = corner_lin[sel]  # (S, 8)
+            ga_list.append(cl[:, A].reshape(-1, 3))  # (S*T, 3)
+            gb_list.append(cl[:, B].reshape(-1, 3))
 
-    if not verts_list:
+    if not ga_list:
         return np.zeros((0, 3), dtype=np.float32), np.zeros((0, 3), dtype=np.int64)
-    verts = np.concatenate(verts_list, axis=0)
-    faces = np.concatenate(faces_list, axis=0)
-    # deduplicate vertices
-    verts_q = np.round(verts, 6)
-    uniq, inverse = np.unique(verts_q, axis=0, return_inverse=True)
-    faces = inverse[faces]
-    return uniq.astype(np.float32), faces
+    ga = np.concatenate(ga_list)  # (N, 3) global endpoint a per face vertex
+    gb = np.concatenate(gb_list)
+    lo = np.minimum(ga, gb)
+    hi = np.maximum(ga, gb)
+    nv = X * Y * Z
+    key = lo * nv + hi
+    uniq, inverse = np.unique(key.ravel(), return_inverse=True)
+    faces = inverse.reshape(-1, 3)
+
+    ulo, uhi = uniq // nv, uniq % nv
+    va, vb = f_flat[ulo], f_flat[uhi]
+    denom = va - vb
+    denom = np.where(np.abs(denom) < 1e-30, 1e-30, denom)
+    t = np.clip(va / denom, 0.0, 1.0)
+
+    def _coords(lin):
+        return np.stack([lin // (Y * Z), lin // Z % Y, lin % Z], axis=-1).astype(
+            np.float64
+        )
+
+    pa, pb = _coords(ulo), _coords(uhi)
+    verts = pa + t[:, None] * (pb - pa)
+    return verts.astype(np.float32), faces
 
 
 # ---------------------------------------------------------------------------
@@ -222,6 +273,12 @@ def _build_mc_table():
     adj = {i: [i ^ (1 << s) for s in range(3)] for i in range(8)}
     faces = _mc_faces()
     corner_pos = _MC_CORNER_OFFSETS.astype(np.float64)
+    # the two faces containing each cube edge (to reject face-flat triangles)
+    edge_faces = {e: set() for e in _MC_EDGES}
+    for fi, fc in enumerate(faces):
+        for k in range(4):
+            a, b = fc[k], fc[(k + 1) % 4]
+            edge_faces[(min(a, b), max(a, b))].add(fi)
 
     table = []
     for case in range(256):
@@ -290,7 +347,22 @@ def _build_mc_table():
                 cold_c = np.mean([corner_pos[b if a in comp else a] for a, b in cycle], axis=0)
                 if float(area @ (cold_c - hot_c)) < 0:
                     cycle.reverse()
-                ids = [edge_id[e] for e in cycle]
+                # fan root: a rotation where no fan triangle has all three
+                # vertices on one cube face — a face-flat triangle's edges
+                # coincide with the neighbor cube's and break manifoldness
+                # (observed as duplicate directed edges on random fields).
+                n = len(cycle)
+                for shift in range(n):
+                    cyc = cycle[shift:] + cycle[:shift]
+                    fan = [(cyc[0], cyc[i], cyc[i + 1]) for i in range(1, n - 1)]
+                    if not any(
+                        edge_faces[t[0]] & edge_faces[t[1]] & edge_faces[t[2]]
+                        for t in fan
+                    ):
+                        break
+                else:
+                    raise AssertionError(f"no flat-free fan root: case {case}")
+                ids = [edge_id[e] for e in cyc]
                 tris.extend((ids[0], ids[i], ids[i + 1]) for i in range(1, len(ids) - 1))
         table.append(np.array(tris, dtype=np.int64).reshape(-1, 3))
     return table

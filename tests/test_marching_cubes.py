@@ -99,14 +99,54 @@ def test_sphere_geometry_and_volume():
     vol_true = 4.0 / 3.0 * np.pi * r**3
     assert abs(vol - vol_true) / vol_true < 0.01, vol
 
-    # same isosurface as the independent tetrahedra path (whose winding is
-    # not globally consistent, so compare surfaces, not signed volumes)
+    # same isosurface and enclosed volume as the independent tetrahedra path
     tv, tf = marching_tetrahedra(f, 0.0)
     tworld = tv / (R - 1) * 2.0 - 1.0
     tradii = np.linalg.norm(tworld, axis=-1)
     assert np.abs(tradii - r).max() < 0.01
+    tvol = _signed_volume(tworld, tf)
+    assert abs(tvol - vol_true) / vol_true < 0.01, tvol
     # MC emits sparser meshes than the 6-tet decomposition
     assert len(faces) < len(tf)
+
+
+def test_tets_closed_manifold():
+    """The Kuhn 6-tet decomposition cuts every shared cube face along the
+    translation-invariant diagonal, so marching tetrahedra is crack-free
+    too, with the same outward winding convention as marching cubes. (The
+    pre-r5 ad-hoc decomposition used opposite diagonals on the z=0/z=1
+    faces — this test would catch that: cracks show as unpaired directed
+    edges.)"""
+    rng = np.random.default_rng(2)
+    for trial in range(20):
+        f = rng.standard_normal((6, 6, 6))
+        f[0], f[-1] = -1.0, -1.0
+        f[:, 0], f[:, -1] = -1.0, -1.0
+        f[:, :, 0], f[:, :, -1] = -1.0, -1.0
+        if not (f > 0).any():
+            continue
+        verts, faces = marching_tetrahedra(f, 0.0)
+        _check_closed_oriented(verts, faces, f"tets trial {trial}")
+        assert _signed_volume(verts, faces) > 0, f"tets trial {trial}"
+
+
+def test_tets_float32_field_exact_dedup():
+    """Regression: with float32 fields, the same cut point interpolated from
+    opposite edge directions in two tets differs by ~1e-6, so the old
+    position-rounding dedup left cracks (248 boundary edges on the release
+    SDF). Dedup is now exact by global edge key — float32 fields at large
+    grid coordinates must still be closed."""
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        f = rng.standard_normal((14, 14, 14)).astype(np.float32)
+        f[0], f[-1] = -1.0, -1.0
+        f[:, 0], f[:, -1] = -1.0, -1.0
+        f[:, :, 0], f[:, :, -1] = -1.0, -1.0
+        verts, faces = marching_tetrahedra(f, 0.0)
+        _check_closed_oriented(verts, faces, f"f32 trial {trial}")
+        assert _signed_volume(verts, faces) > 0
+        vc, fcs = marching_cubes(f, 0.0)
+        _check_closed_oriented(vc, fcs, f"f32 mc trial {trial}")
 
 
 def test_vertices_on_grid_edges():
