@@ -459,13 +459,79 @@ def extract_geometry(
     return verts, faces
 
 
-def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+def save_obj(
+    path: str,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+    normals: Optional[np.ndarray] = None,
+) -> None:
+    """OBJ export; ``colors`` (V, 3) in [0, 1] use the widespread
+    'v x y z r g b' extension, ``normals`` (V, 3) emit vn + v//vn faces."""
     import os
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as fh:
-        for v in verts:
-            fh.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
-        for f in faces + 1:
-            fh.write(f"f {f[0]} {f[1]} {f[2]}\n")
+        for i, v in enumerate(verts):
+            if colors is not None:
+                c = colors[i]
+                fh.write(
+                    f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f} {c[0]:.4f} {c[1]:.4f} {c[2]:.4f}\n"
+                )
+            else:
+                fh.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        if normals is not None:
+            for n in normals:
+                fh.write(f"vn {n[0]:.4f} {n[1]:.4f} {n[2]:.4f}\n")
+            for f in faces + 1:
+                fh.write(f"f {f[0]}//{f[0]} {f[1]}//{f[1]} {f[2]}//{f[2]}\n")
+        else:
+            for f in faces + 1:
+                fh.write(f"f {f[0]} {f[1]} {f[2]}\n")
+    logger.info("wrote %s (%d verts, %d faces)", path, len(verts), len(faces))
+
+
+def save_ply(
+    path: str,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+    normals: Optional[np.ndarray] = None,
+) -> None:
+    """Binary little-endian PLY with optional per-vertex normals and uchar
+    colors — the standard interchange format for colored meshes."""
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    props = ["property float x", "property float y", "property float z"]
+    cols = [verts.astype("<f4")]
+    if normals is not None:
+        props += ["property float nx", "property float ny", "property float nz"]
+        cols.append(np.asarray(normals, dtype="<f4"))
+    if colors is not None:
+        props += ["property uchar red", "property uchar green", "property uchar blue"]
+        cols.append(
+            np.clip(np.round(np.asarray(colors) * 255.0), 0, 255).astype(np.uint8)
+        )
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {len(verts)}\n" + "\n".join(props) + "\n"
+        f"element face {len(faces)}\n"
+        "property list uchar int vertex_indices\nend_header\n"
+    )
+    vert_fields = [("xyz", "<f4", 3)]
+    if normals is not None:
+        vert_fields.append(("n", "<f4", 3))
+    if colors is not None:
+        vert_fields.append(("c", "u1", 3))
+    vrec = np.zeros(len(verts), dtype=np.dtype(vert_fields))
+    for (name, _, _), col in zip(vert_fields, cols):
+        vrec[name] = col
+    frec = np.zeros(len(faces), dtype=np.dtype([("k", "u1"), ("idx", "<i4", 3)]))
+    frec["k"] = 3
+    frec["idx"] = faces.astype("<i4")
+    with open(path, "wb") as fh:
+        fh.write(header.encode("ascii"))
+        fh.write(vrec.tobytes())
+        fh.write(frec.tobytes())
     logger.info("wrote %s (%d verts, %d faces)", path, len(verts), len(faces))

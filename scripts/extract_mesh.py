@@ -27,7 +27,8 @@ from object_intrinsics_tpu.utils.platform import honor_jax_platforms
 
 honor_jax_platforms()
 from object_intrinsics_tpu.models import fields
-from object_intrinsics_tpu.ops.marching_cubes import extract_geometry, save_obj
+from object_intrinsics_tpu.ops.marching_cubes import extract_geometry, save_obj, save_ply
+from object_intrinsics_tpu.utils.mesh import vertex_attributes
 from object_intrinsics_tpu.utils.test import inference_setup
 
 logging.basicConfig(level=logging.INFO)
@@ -48,6 +49,12 @@ def main():
         choices=["cubes", "tets"],
         default="cubes",
         help="triangulation: marching cubes (mcubes parity) or tetrahedra",
+    )
+    ap.add_argument(
+        "--vertex-attrs",
+        action="store_true",
+        help="bake per-vertex SDF-gradient normals + learned albedo into the "
+        "mesh (beyond parity; .ply output recommended)",
     )
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args()
@@ -81,10 +88,15 @@ def main():
         [-b, -b, -b], [b, b, b], args.resolution, args.threshold, query,
         method=args.method,
     )
+    normals = colors = None
+    if args.vertex_attrs:
+        normals, colors = vertex_attributes(params, w, verts)
+    ext = ".ply" if args.vertex_attrs else ".obj"
     out = args.out or os.path.join(
-        "logs", "meshes", f"{os.path.basename(str(args.path)).strip('/')}_it{model_info['it']}.obj"
+        "logs", "meshes", f"{os.path.basename(str(args.path)).strip('/')}_it{model_info['it']}{ext}"
     )
-    save_obj(out, verts, faces)
+    writer = save_ply if out.endswith(".ply") else save_obj
+    writer(out, verts, faces, colors=colors, normals=normals)
     print(out)
 
 
