@@ -51,6 +51,15 @@ def main():
         help="triangulation: marching cubes (mcubes parity) or tetrahedra",
     )
     ap.add_argument(
+        "--sparse",
+        dest="sparse",
+        action="store_true",
+        default=None,
+        help="hierarchical block-skipping SDF evaluation (identical mesh, "
+        "far fewer field evals; auto-on at -res >= 256)",
+    )
+    ap.add_argument("--dense", dest="sparse", action="store_false")
+    ap.add_argument(
         "--vertex-attrs",
         action="store_true",
         help="bake per-vertex SDF-gradient normals + learned albedo into the "
@@ -86,7 +95,7 @@ def main():
     b = args.bound
     verts, faces = extract_geometry(
         [-b, -b, -b], [b, b, b], args.resolution, args.threshold, query,
-        method=args.method,
+        method=args.method, sparse=args.sparse,
     )
     normals = colors = None
     if args.vertex_attrs:

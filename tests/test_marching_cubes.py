@@ -14,6 +14,7 @@ import pytest
 
 from object_intrinsics_tpu.ops.marching_cubes import (
     _MC_TRI_TABLE,
+    extract_fields_sparse,
     extract_geometry,
     marching_cubes,
     marching_tetrahedra,
@@ -174,6 +175,59 @@ def test_extract_geometry_methods(tmp_path):
         assert np.abs(np.linalg.norm(verts, axis=-1) - 0.5).max() < 0.03
     with pytest.raises(ValueError):
         extract_geometry([-1] * 3, [1] * 3, 8, 0.0, query, method="nope")
+
+
+def test_sparse_extraction_identical_mesh():
+    """The hierarchical block-skipping field pass must produce the exact
+    same mesh as the dense pass (every surface-crossing cube reads real
+    values thanks to the Lipschitz margin + neighbor halo), while skipping
+    most evaluations for a centered object."""
+    r = 0.45
+    calls = {"dense": 0, "sparse": 0}
+    mode = ["dense"]
+
+    def query(pts):
+        calls[mode[0]] += len(pts)
+        # an off-center lump breaks symmetry so the test isn't trivial
+        d1 = np.linalg.norm(pts, axis=-1) - r
+        d2 = np.linalg.norm(pts - np.array([0.3, 0.2, -0.1]), axis=-1) - 0.25
+        return -np.minimum(d1, d2)
+
+    vd, fd = extract_geometry([-1] * 3, [1] * 3, 129, 0.0, query, sparse=False)
+    mode[0] = "sparse"
+    vs, fs = extract_geometry([-1] * 3, [1] * 3, 129, 0.0, query, sparse=True)
+    np.testing.assert_array_equal(vd, vs)
+    np.testing.assert_array_equal(fd, fs)
+    # the active shell is ~2 blocks thick, so savings grow with resolution;
+    # at 129 the bound is modest, at 512 it is ~16x (see the docstring)
+    assert calls["sparse"] < 0.6 * calls["dense"], calls
+    _check_closed_oriented(vs, fs, "sparse")
+
+
+def test_sparse_extraction_nonzero_threshold():
+    """Sparsity must track the THRESHOLD level set, not the raw zero set."""
+
+    def query(pts):
+        return -(np.linalg.norm(pts, axis=-1) - 0.5) + 2.0  # zero set far away
+
+    vd, fd = extract_geometry([-1] * 3, [1] * 3, 65, 2.0, query, sparse=False)
+    vs, fs = extract_geometry([-1] * 3, [1] * 3, 65, 2.0, query, sparse=True)
+    np.testing.assert_array_equal(vd, vs)
+    np.testing.assert_array_equal(fd, fs)
+    assert np.abs(np.linalg.norm(vs, axis=-1) - 0.5).max() < 0.02
+
+
+def test_sparse_fields_far_surface():
+    """A field with no zero crossing in the box: no active blocks, constant
+    sign everywhere, empty mesh."""
+
+    def query(pts):
+        return np.full(len(pts), 7.0, dtype=np.float32)
+
+    u = extract_fields_sparse([-1] * 3, [1] * 3, 65, query)
+    assert (u > 0).all()
+    v, f = marching_cubes(u, 0.0)
+    assert v.size == 0 and f.size == 0
 
 
 def test_empty_and_full():
