@@ -614,18 +614,14 @@ def save_obj(
     logger.info("wrote %s (%d verts, %d faces)", path, len(verts), len(faces))
 
 
-def save_ply(
-    path: str,
+def ply_bytes(
     verts: np.ndarray,
     faces: np.ndarray,
     colors: Optional[np.ndarray] = None,
     normals: Optional[np.ndarray] = None,
-) -> None:
+) -> bytes:
     """Binary little-endian PLY with optional per-vertex normals and uchar
     colors — the standard interchange format for colored meshes."""
-    import os
-
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     props = ["property float x", "property float y", "property float z"]
     cols = [verts.astype("<f4")]
     if normals is not None:
@@ -652,9 +648,20 @@ def save_ply(
         vrec[name] = col
     frec = np.zeros(len(faces), dtype=np.dtype([("k", "u1"), ("idx", "<i4", 3)]))
     frec["k"] = 3
-    frec["idx"] = faces.astype("<i4")
+    frec["idx"] = faces.astype("<i4") if len(faces) else frec["idx"]
+    return header.encode("ascii") + vrec.tobytes() + frec.tobytes()
+
+
+def save_ply(
+    path: str,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+    normals: Optional[np.ndarray] = None,
+) -> None:
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as fh:
-        fh.write(header.encode("ascii"))
-        fh.write(vrec.tobytes())
-        fh.write(frec.tobytes())
+        fh.write(ply_bytes(verts, faces, colors=colors, normals=normals))
     logger.info("wrote %s (%d verts, %d faces)", path, len(verts), len(faces))

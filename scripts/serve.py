@@ -18,6 +18,13 @@ Endpoints:
                                  when absent
         "map":  "image" | "normal" | "shading"   (default "image")
         "seed": int              RNG seed for anything unspecified
+  POST /mesh              -> binary PLY (watertight marching cubes, with
+                             per-vertex SDF-gradient normals + learned
+                             albedo unless "vertex_attrs" is false)
+      JSON body (all optional):
+        "z" / "seed"             as above
+        "resolution": int        SDF grid, default 97 (capped at 257)
+        "vertex_attrs": bool     default true
 
 Device work is serialized behind one lock (one chip, one program); the
 HTTP layer is threaded so health checks never queue behind renders.
@@ -61,6 +68,7 @@ class RenderService:
         self.ema = ema
         self.z_dim = self.gen.z_dim
         self.lock = threading.Lock()
+        self._sdf_fn = None  # lazily jitted on the first /mesh request
         it = np.asarray(self.it, dtype=np.int32)
         self._fwd = jax.jit(
             lambda p, key, data: self.gen.forward(
@@ -86,6 +94,50 @@ class RenderService:
             else:
                 img = np.asarray(ro["image"][0])
         return np.clip(img, 0.0, 1.0)
+
+    def mesh_ply(
+        self, z=None, seed=0, resolution=97, vertex_attrs=True, bound=1.0
+    ) -> bytes:
+        """Watertight marching-cubes PLY of the latent's SDF (sparse field
+        evaluation; normals + albedo baked in unless vertex_attrs=False)."""
+        import jax.numpy as jnp
+
+        from object_intrinsics_tpu.models import fields
+        from object_intrinsics_tpu.ops.marching_cubes import extract_geometry, ply_bytes
+        from object_intrinsics_tpu.utils.mesh import vertex_attributes
+
+        resolution = int(min(max(int(resolution), 17), 257))
+        if z is None:
+            z = jax.random.normal(jax.random.PRNGKey(int(seed)), (1, self.z_dim))
+        else:
+            z = jnp.asarray(np.asarray(z, dtype=np.float32).reshape(1, self.z_dim))
+        if self._sdf_fn is None:
+            self._sdf_fn = jax.jit(
+                lambda p, pts, w: fields.shape_sdf(p, pts[None], w)[0, :, 0]
+            )
+        sdf_p = self.params["sdf_network"]
+        w = fields.shape_style(sdf_p, z)
+        ch = 32768  # fixed-shape chunks: one compile serves every request
+
+        def query(pts_np):
+            out = np.empty(len(pts_np), dtype=np.float32)
+            for i in range(0, len(pts_np), ch):
+                blk = pts_np[i : i + ch].astype(np.float32)
+                pad = ch - len(blk)
+                v = np.asarray(
+                    self._sdf_fn(sdf_p, jnp.asarray(np.pad(blk, ((0, pad), (0, 0)))), w)
+                )
+                out[i : i + ch] = v[: len(blk)]
+            return -out  # the reference's -sdf convention
+
+        with self.lock:
+            verts, faces = extract_geometry(
+                [-bound] * 3, [bound] * 3, resolution, 0.0, query
+            )
+            normals = colors = None
+            if vertex_attrs and len(verts):
+                normals, colors = vertex_attributes(self.params, w, verts)
+        return ply_bytes(verts, faces, colors=colors, normals=normals)
 
     def png(self, **kwargs) -> bytes:
         from PIL import Image
@@ -124,23 +176,36 @@ def make_handler(service: RenderService):
                 self._json(404, {"error": "unknown path; POST /render or GET /health"})
 
         def do_POST(self):
-            if self.path != "/render":
-                return self._json(404, {"error": "POST /render"})
+            if self.path not in ("/render", "/mesh"):
+                return self._json(404, {"error": "POST /render or /mesh"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                png = service.png(
-                    z=req.get("z"), b2w=req.get("b2w"),
-                    map_name=req.get("map", "image"),
-                    seed=req.get("seed", 0),
-                )
+                if self.path == "/mesh":
+                    body = service.mesh_ply(
+                        z=req.get("z"), seed=req.get("seed", 0),
+                        resolution=req.get("resolution", 97),
+                        vertex_attrs=req.get("vertex_attrs", True),
+                    )
+                    ctype = "application/octet-stream"
+                    extra = [("Content-Disposition", 'attachment; filename="mesh.ply"')]
+                else:
+                    body = service.png(
+                        z=req.get("z"), b2w=req.get("b2w"),
+                        map_name=req.get("map", "image"),
+                        seed=req.get("seed", 0),
+                    )
+                    ctype = "image/png"
+                    extra = []
             except Exception as e:  # noqa: BLE001 - report, don't crash the server
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})
             self.send_response(200)
-            self.send_header("Content-Type", "image/png")
-            self.send_header("Content-Length", str(len(png)))
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in extra:
+                self.send_header(k, v)
             self.end_headers()
-            self.wfile.write(png)
+            self.wfile.write(body)
 
     return Handler
 

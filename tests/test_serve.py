@@ -82,6 +82,36 @@ def test_render_pinned_inputs_deterministic(server):
     assert png3 != png1
 
 
+def test_mesh_endpoint(server):
+    url, _ = server
+    import re
+    import urllib.error
+
+    req = urllib.request.Request(
+        url + "/mesh",
+        data=json.dumps({"seed": 0, "resolution": 33}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.status == 200
+        assert r.headers.get("Content-Type") == "application/octet-stream"
+        assert 'filename="mesh.ply"' in r.headers.get("Content-Disposition", "")
+        raw = r.read()
+    header, _, body = raw.partition(b"end_header\n")
+    assert raw.startswith(b"ply\nformat binary_little_endian 1.0\n")
+    nv = int(re.search(rb"element vertex (\d+)", header).group(1))
+    nf = int(re.search(rb"element face (\d+)", header).group(1))
+    if nv:  # the 5-it fixture model may or may not cross zero in the box
+        assert b"property uchar red" in header and b"property float nx" in header
+        assert len(body) == nv * 27 + nf * 13
+        frec = np.frombuffer(
+            body[nv * 27 :], dtype=np.dtype([("k", "u1"), ("idx", "<i4", 3)])
+        )
+        assert (frec["k"] == 3).all() and frec["idx"].max() < nv
+    # identical request -> identical bytes (resident executable, pinned seed)
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.read() == raw
+
+
 def test_render_bad_request(server):
     url, _ = server
     status, ctype, body = _post(url, {"z": [1.0, 2.0]})  # wrong z length
