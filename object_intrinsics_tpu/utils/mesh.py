@@ -16,6 +16,14 @@ import numpy as np
 from ..models import fields
 
 
+@jax.jit
+def _attrs(sdf_p, color_p, w, p):
+    _, grads, feat = fields.shape_sdf_grad(sdf_p, p[None], w)
+    n = grads / (jnp.linalg.norm(grads, axis=-1, keepdims=True) + 1e-12)
+    rgb = fields.color_forward(color_p, feat, n, w)
+    return n[0], rgb[0]
+
+
 def vertex_attributes(
     params: dict, w: jnp.ndarray, verts: np.ndarray, chunk: int = 65536
 ):
@@ -24,15 +32,13 @@ def vertex_attributes(
 
     The SDF is positive outside, so the outward normal is the normalized
     gradient. Albedo is ``color_forward`` on the trunk features + normals —
-    view-independent, so a single evaluation is the full appearance."""
+    view-independent, so a single evaluation is the full appearance. The
+    jitted kernel is module-level with params as arguments, so repeated
+    calls (e.g. every serve.py /mesh request) reuse one executable."""
     sdf_p, color_p = params["sdf_network"], params["color_network"]
 
-    @jax.jit
     def attrs(p):
-        _, grads, feat = fields.shape_sdf_grad(sdf_p, p[None], w)
-        n = grads / (jnp.linalg.norm(grads, axis=-1, keepdims=True) + 1e-12)
-        rgb = fields.color_forward(color_p, feat, n, w)
-        return n[0], rgb[0]
+        return _attrs(sdf_p, color_p, w, p)
 
     verts = np.asarray(verts, dtype=np.float32)
     normals = np.empty_like(verts)
