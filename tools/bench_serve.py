@@ -29,16 +29,16 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _request(port, body):
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+def _request(port, body, path="/render", magic=b"\x89PNG\r\n\x1a\n"):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
     t0 = time.time()
-    conn.request("POST", "/render", json.dumps(body),
+    conn.request("POST", path, json.dumps(body),
                  {"Content-Type": "application/json"})
     resp = conn.getresponse()
     data = resp.read()
     dt = time.time() - t0
     assert resp.status == 200, (resp.status, data[:200])
-    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    assert data[: len(magic)] == magic, f"wrong magic for {path}"
     conn.close()
     return dt
 
@@ -59,6 +59,10 @@ def main():
     ap.add_argument("-n", "--num", type=int, default=20)
     ap.add_argument("-c", "--clients", type=int, default=4)
     ap.add_argument("--ema", type=float, default=None)
+    ap.add_argument("--mesh-res", type=int, default=97,
+                    help="grid resolution for the /mesh latency rows")
+    ap.add_argument("--mesh-n", type=int, default=5,
+                    help="warm /mesh requests to time (0 disables)")
     args = ap.parse_args()
 
     import jax
@@ -101,6 +105,19 @@ def main():
         th.join()
     assert not errs, errs
 
+    mesh_rows = {}
+    if args.mesh_n:
+        # first request pays the SDF-query jit; report it separately
+        cold = _request(port, {"seed": 0, "resolution": args.mesh_res},
+                        path="/mesh", magic=b"ply\n")
+        warm = [_request(port, {"seed": 1 + i, "resolution": args.mesh_res},
+                         path="/mesh", magic=b"ply\n")
+                for i in range(args.mesh_n)]
+        mesh_rows = {
+            f"mesh_res{args.mesh_res}_first_s": round(cold, 1),
+            f"mesh_res{args.mesh_res}_warm": _pcts(warm),
+        }
+
     server.shutdown()
     summary = {
         "run": os.path.abspath(args.path),
@@ -110,6 +127,7 @@ def main():
         "sequential": _pcts(seq),
         f"concurrent_x{args.clients}": _pcts(conc),
         "n_requests": len(seq) + len(conc),
+        **mesh_rows,
     }
     print(json.dumps(summary))
 
