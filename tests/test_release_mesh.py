@@ -11,16 +11,22 @@ import numpy as np
 import pytest
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
-RELEASE = os.path.join(REPO, "release", "example")
+RELEASES = [
+    os.path.join(REPO, "release", name)
+    for name in ("example", "synth_hemi", "synth_sphere")
+]
+_PRESENT = [
+    p for p in RELEASES if os.path.exists(os.path.join(p, "checkpoints", "model.npz"))
+]
 
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(os.path.join(RELEASE, "checkpoints", "model.npz")),
-    reason="release/example weights not present",
+    not _PRESENT, reason="no release weights present"
 )
 
 
-@pytest.fixture(scope="module")
-def mesh():
+@pytest.fixture(scope="module", params=_PRESENT, ids=[os.path.basename(p) for p in _PRESENT])
+def mesh(request):
+    RELEASE = request.param
     import jax
     import jax.numpy as jnp
 
