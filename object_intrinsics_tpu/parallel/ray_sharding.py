@@ -27,6 +27,38 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .mesh import DATA_AXIS, make_mesh, shard_map
 
 
+def sharded_point_query(fn, mesh: Mesh, chunk: int = 32768):
+    """Wrap a per-point field function for host-driven grid sweeps (mesh
+    extraction) with the points SHARDED over ``mesh``: each chip evaluates
+    ``chunk`` points per dispatch, so one dispatch covers chunk * mesh.size
+    points and wall time falls linearly with mesh size.
+
+    ``fn``: (m, 3) jnp points -> (m,) values, closing over its params
+    (replicated). Returns a numpy (n, 3) -> (n,) callable that pads to the
+    fixed dispatch shape (one executable serves every call) — a drop-in
+    ``query_fn`` for :func:`ops.marching_cubes.extract_geometry`."""
+    import numpy as np
+
+    nd = mesh.size
+    per = shard_map(
+        lambda p: fn(p), mesh, in_specs=(P(DATA_AXIS),), out_specs=P(DATA_AXIS)
+    )
+    jitted = jax.jit(per)
+    step = chunk * nd
+
+    def query(pts_np):
+        pts_np = np.asarray(pts_np, dtype=np.float32)
+        out = np.empty(len(pts_np), dtype=np.float32)
+        for i in range(0, len(pts_np), step):
+            blk = pts_np[i : i + step]
+            pad = step - len(blk)
+            v = np.asarray(jitted(jnp.asarray(np.pad(blk, ((0, pad), (0, 0))))))
+            out[i : i + step] = v[: len(blk)]
+        return out
+
+    return query
+
+
 def sharded_eval_render(gen, params, data: Dict, mesh: Mesh, bs: int = 1,
                         it: int = 0, key=None):
     """Render one evaluation batch with rays sharded over ``mesh``.

@@ -51,6 +51,13 @@ def main():
         help="triangulation: marching cubes (mcubes parity) or tetrahedra",
     )
     ap.add_argument(
+        "--mesh",
+        type=int,
+        default=None,
+        help="shard the SDF grid evaluation over N devices (-1 = all visible); "
+        "wall time falls linearly with mesh size",
+    )
+    ap.add_argument(
         "--sparse",
         dest="sparse",
         action="store_true",
@@ -85,12 +92,27 @@ def main():
         z = jax.random.normal(jax.random.PRNGKey(args.seed), (1, gen.z_dim))
     w = fields.shape_style(params["sdf_network"], z)
 
-    sdf_fn = jax.jit(
-        lambda pts: fields.shape_sdf(params["sdf_network"], pts[None], w)[0, :, 0]
-    )
+    if args.mesh is not None:
+        from object_intrinsics_tpu.parallel.mesh import make_mesh
+        from object_intrinsics_tpu.parallel.ray_sharding import sharded_point_query
 
-    def query(pts_np):
-        return -np.asarray(sdf_fn(jnp.asarray(pts_np, dtype=jnp.float32)))
+        dev_mesh = make_mesh(args.mesh)
+        logger.info("sharding SDF evaluation over %d devices", dev_mesh.size)
+        sdf_q = sharded_point_query(
+            lambda pts: fields.shape_sdf(params["sdf_network"], pts[None], w)[0, :, 0],
+            dev_mesh,
+        )
+
+        def query(pts_np):
+            return -sdf_q(pts_np)
+
+    else:
+        sdf_fn = jax.jit(
+            lambda pts: fields.shape_sdf(params["sdf_network"], pts[None], w)[0, :, 0]
+        )
+
+        def query(pts_np):
+            return -np.asarray(sdf_fn(jnp.asarray(pts_np, dtype=jnp.float32)))
 
     b = args.bound
     verts, faces = extract_geometry(

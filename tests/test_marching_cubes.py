@@ -230,6 +230,37 @@ def test_sparse_fields_far_surface():
     assert v.size == 0 and f.size == 0
 
 
+def test_sharded_point_query_matches_single_device():
+    """sharded_point_query over the virtual 8-device mesh must agree with a
+    single-device evaluation (padding + slicing must be invisible), and the
+    extracted mesh must be identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_intrinsics_tpu.parallel.mesh import make_mesh
+    from object_intrinsics_tpu.parallel.ray_sharding import sharded_point_query
+
+    dev_mesh = make_mesh(-1)
+    assert dev_mesh.size >= 2, "suite runs on the virtual 8-device CPU mesh"
+    a = jnp.asarray([0.3, -0.2, 0.15])
+
+    def fn(pts):
+        return jnp.linalg.norm(pts - a, axis=-1) - 0.4
+
+    q = sharded_point_query(fn, dev_mesh, chunk=64)
+    rng = np.random.default_rng(0)
+    for n in (7, 64 * dev_mesh.size, 64 * dev_mesh.size + 3, 2000):
+        pts = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+        got = q(pts)
+        want = np.asarray(jax.jit(fn)(jnp.asarray(pts)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    vd, fd = extract_geometry([-1] * 3, [1] * 3, 33, 0.0, lambda p: -np.asarray(jax.jit(fn)(jnp.asarray(p))))
+    vs, fs = extract_geometry([-1] * 3, [1] * 3, 33, 0.0, lambda p: -q(p))
+    np.testing.assert_array_equal(vd, vs)
+    np.testing.assert_array_equal(fd, fs)
+
+
 def test_empty_and_full():
     v, f = marching_cubes(-np.ones((5, 5, 5)), 0.0)
     assert v.size == 0 and f.size == 0
