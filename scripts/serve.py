@@ -28,6 +28,10 @@ Endpoints:
 
 Device work is serialized behind one lock (one chip, one program); the
 HTTP layer is threaded so health checks never queue behind renders.
+With --batch-sizes 1,2,4 concurrent render requests coalesce into one
+batched dispatch (the worker drains whatever queued while the chip was
+busy), trading a longer startup (one precompile per bucket) for
+multi-client throughput.
 """
 import argparse
 import io
@@ -51,9 +55,19 @@ import numpy as np  # noqa: E402
 
 
 class RenderService:
-    """Checkpoint -> a warmed, lock-serialized render callable."""
+    """Checkpoint -> a warmed, lock-serialized render callable.
 
-    def __init__(self, log_dir, ema=None, test_resolution=None, depth_multiplier=None):
+    Concurrent /render requests coalesce into one batched device dispatch
+    (``batch_sizes`` buckets, each precompiled at startup): the worker
+    drains whatever is queued while the chip was busy and runs it as one
+    bs=N program — the TPU serving pattern for static-shape executables.
+    Every request's stochastic inputs presample on the host with the same
+    key splits the generator uses internally, so responses are independent
+    of batch composition (bit-exact within a bucket; across buckets XLA
+    may differ in the last ulp)."""
+
+    def __init__(self, log_dir, ema=None, test_resolution=None,
+                 depth_multiplier=None, batch_sizes=(1,)):
         import object_intrinsics_tpu  # noqa: F401 - registry
         from object_intrinsics_tpu.utils.test import inference_setup
 
@@ -70,29 +84,94 @@ class RenderService:
         self.lock = threading.Lock()
         self._sdf_fn = None  # lazily jitted on the first /mesh request
         it = np.asarray(self.it, dtype=np.int32)
-        self._fwd = jax.jit(
-            lambda p, key, data: self.gen.forward(
-                p, key, 1, it, data, train=False, return_raw=True, fast=True
+        self.buckets = sorted(set(int(b) for b in batch_sizes) | {1})
+        key0 = jax.random.PRNGKey(0)
+
+        def fwd(p, key, data, bs):
+            return self.gen.forward(
+                p, key, bs, it, data, train=False, return_raw=True, fast=True
             )["box"]["render_out"]
-        )
-        self.render(seed=0)  # warm: pays the one-time jit before serving
+
+        self._fwd = {
+            b: jax.jit(lambda p, key, data, _b=b: fwd(p, key, data, _b))
+            for b in self.buckets
+        }
+        # warm every bucket before serving (pays each one-time jit)
+        for b in self.buckets:
+            data = {
+                "z": np.zeros((b, self.z_dim), np.float32),
+                "b2w": np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)),
+                "bg_color": np.ones((b, 3), np.float32),
+            }
+            jax.block_until_ready(self._fwd[b](self.params, key0, data))
+
+        self._queue = []
+        self._cond = threading.Condition()
+        self._worker = threading.Thread(target=self._batch_loop, daemon=True)
+        self._worker.start()
+        self.render(seed=0)  # end-to-end warm through the batcher
+
+    def _pin_inputs(self, z, b2w, seed):
+        """Presample whatever the request left unspecified, with the same
+        key splits forward() uses internally (generator.py:400), so a
+        seed-only request renders the exact image the unbatched path did."""
+        k_pose, k_z, _, _ = jax.random.split(jax.random.PRNGKey(int(seed)), 4)
+        if z is None:
+            z = np.asarray(jax.random.normal(k_z, (1, self.z_dim)))
+        else:
+            z = np.asarray(z, dtype=np.float32).reshape(1, self.z_dim)
+        if b2w is None:
+            b2w = np.asarray(self.gen.pose_prior(k_pose, 1))
+        else:
+            b2w = np.asarray(b2w, dtype=np.float32).reshape(1, 4, 4)
+        return z.astype(np.float32), b2w.astype(np.float32)
+
+    def _batch_loop(self):
+        while True:
+            with self._cond:
+                while not self._queue:
+                    self._cond.wait()
+                take = min(len(self._queue), self.buckets[-1])
+                batch, self._queue = self._queue[:take], self._queue[take:]
+            bucket = next(b for b in self.buckets if b >= len(batch))
+            z = np.concatenate(
+                [r["z"] for r in batch]
+                + [batch[-1]["z"]] * (bucket - len(batch)), axis=0)
+            b2w = np.concatenate(
+                [r["b2w"] for r in batch]
+                + [batch[-1]["b2w"]] * (bucket - len(batch)), axis=0)
+            data = {"z": z, "b2w": b2w,
+                    "bg_color": np.ones((bucket, 3), np.float32)}
+            try:
+                with self.lock:
+                    ro = self._fwd[bucket](self.params, jax.random.PRNGKey(0), data)
+                    maps = {k: np.asarray(ro[k])
+                            for k in ("image", "normal_map", "shading_map")}
+            except Exception as e:  # noqa: BLE001 - deliver, don't kill the worker
+                for r in batch:
+                    r["error"] = e
+                    r["event"].set()
+                continue
+            for i, r in enumerate(batch):
+                r["out"] = {k: v[i] for k, v in maps.items()}
+                r["event"].set()
 
     def render(self, z=None, b2w=None, map_name="image", seed=0):
-        data = {"bg_color": np.ones((1, 3), dtype=np.float32)}
-        if z is not None:
-            z = np.asarray(z, dtype=np.float32).reshape(1, self.z_dim)
-            data["z"] = z
-        if b2w is not None:
-            data["b2w"] = np.asarray(b2w, dtype=np.float32).reshape(1, 4, 4)
-        key = jax.random.PRNGKey(int(seed))
-        with self.lock:
-            ro = self._fwd(self.params, key, data)
-            if map_name == "normal":
-                img = np.asarray(ro["normal_map"][0, ..., ::-1]) * 0.5 + 0.5
-            elif map_name == "shading":
-                img = np.asarray(ro["shading_map"][0])
-            else:
-                img = np.asarray(ro["image"][0])
+        z, b2w = self._pin_inputs(z, b2w, seed)
+        req = {"z": z, "b2w": b2w, "event": threading.Event()}
+        with self._cond:
+            self._queue.append(req)
+            self._cond.notify()
+        req["event"].wait()
+        if "error" in req:
+            raise req["error"]
+        out = req["out"]
+        if map_name == "normal":
+            img = out["normal_map"][..., ::-1] * 0.5 + 0.5
+        elif map_name == "shading":
+            img = out["shading_map"]
+        else:
+            img = out["image"]
         return np.clip(img, 0.0, 1.0)
 
     def mesh_ply(
@@ -224,10 +303,16 @@ def main():
     ap.add_argument("-ema", "--ema", type=float, default=None, choices=[0.9, 0.99])
     ap.add_argument("-res", "--resolution", type=int, default=None)
     ap.add_argument("-depth", "--depth-multiplier", type=int, default=None)
+    ap.add_argument(
+        "--batch-sizes", default="1",
+        help="comma-separated request-coalescing buckets, e.g. 1,2,4 — "
+        "concurrent /render requests batch into one device dispatch "
+        "(each bucket precompiles at startup)")
     args = ap.parse_args()
     server, service = create_server(
         args.path, port=args.port, ema=args.ema,
-        test_resolution=args.resolution, depth_multiplier=args.depth_multiplier)
+        test_resolution=args.resolution, depth_multiplier=args.depth_multiplier,
+        batch_sizes=tuple(int(b) for b in args.batch_sizes.split(",")))
     print(f"serving {args.path} (it={int(service.it)}, "
           f"{service.gen.resolution}px) on http://127.0.0.1:{server.server_address[1]}")
     server.serve_forever()

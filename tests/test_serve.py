@@ -119,6 +119,77 @@ def test_render_bad_request(server):
     assert "error" in json.loads(body)
 
 
+@pytest.fixture(scope="module")
+def batched_server(tmp_path_factory):
+    """Same tiny run served with request-coalescing buckets 1,2,4."""
+    from __graft_entry__ import _build_trainer, _disc_cfg, _generator_cfg
+
+    run_dir = tmp_path_factory.mktemp("serve_run_batched")
+    trainer = _build_trainer(mesh=None, resolution=16)
+    trainer.state["it"] = jnp.asarray(5, dtype=jnp.int32)
+    (run_dir / "checkpoints").mkdir()
+    trainer.checkpoint_io.checkpoint_dir = str(run_dir / "checkpoints")
+    trainer.save_checkpoint(blocking=True, epoch=0)
+    cfg = {"model": {
+        "generator": _generator_cfg(resolution=16, n_samples=4, n_importance=2),
+        "discriminator": _disc_cfg(16, 3, 7, view=True),
+        "mask_discriminator": _disc_cfg(16, 1, 1),
+    }}
+    with open(run_dir / "cfg.json", "w") as f:
+        json.dump(cfg, f)
+
+    from scripts.serve import create_server
+
+    srv, service = create_server(str(run_dir), port=0, batch_sizes=(1, 2, 4))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", service
+    srv.shutdown()
+
+
+def test_batched_concurrent_requests(batched_server):
+    """8 concurrent distinct requests through the coalescing worker: all
+    succeed, each response is the request's own latent (distinct z ->
+    distinct PNGs), and identical requests stay deterministic."""
+    url, service = batched_server
+    assert service.buckets == [1, 2, 4]
+    results = {}
+
+    def client(i):
+        z = (np.linspace(-1, 1, 64) * (0.2 + 0.1 * i)).tolist()
+        body = {"z": z, "b2w": np.eye(4).tolist()}
+        results[i] = _post(url, body)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 8
+    pngs = []
+    for i, (status, ctype, body) in sorted(results.items()):
+        assert status == 200 and ctype == "image/png", (i, status)
+        pngs.append(body)
+    assert len({p for p in pngs}) == 8  # distinct latents -> distinct images
+    # sequential repeat of one request reproduces its bytes (bucket 1)
+    z0 = (np.linspace(-1, 1, 64) * 0.2).tolist()
+    body = {"z": z0, "b2w": np.eye(4).tolist()}
+    _, _, a = _post(url, body)
+    _, _, b = _post(url, body)
+    assert a == b
+
+
+def test_batched_seed_matches_unbatched(server, batched_server):
+    """A seed-only request renders the same image whether the service
+    batches or not: the host presample uses the generator's own key
+    splits."""
+    url1, _ = server
+    url2, _ = batched_server
+    _, _, png1 = _post(url1, {"seed": 77})
+    _, _, png2 = _post(url2, {"seed": 77})
+    assert png1 == png2
+
+
 def test_unknown_path(server):
     url, _ = server
     req = urllib.request.Request(url + "/nope", data=b"{}")
